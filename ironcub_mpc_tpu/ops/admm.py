@@ -49,6 +49,13 @@ class ADMMSettings:
     sigma: float = 1e-6
     alpha: float = 1.6
     max_iter: int = 250
+    # staged adaptive rho (OSQP `adaptive_rho`): at these iteration counts the
+    # scaled residual ratio re-tunes rho and K is re-factorised. Static tuple
+    # so batched lanes stay in lockstep (each lane gets its own rho value).
+    rho_update_iters: tuple = (25, 75, 150)
+    adaptive_rho_tolerance: float = 5.0
+    rho_min: float = 1e-6
+    rho_max: float = 1e6
     eps_abs: float = 1e-3
     eps_rel: float = 1e-3
     eps_pinf: float = 1e-4
@@ -101,8 +108,12 @@ def _inf_norm_rows(M):
 
 
 def _safe_inv_sqrt(v, lo=1e-8, hi=1e8):
-    v = jnp.clip(v, lo, hi)
-    return 1.0 / jnp.sqrt(v)
+    """1/sqrt with OSQP's zero-row rule: an (almost) zero norm means the
+    row/column carries no data — its scale stays exactly 1 so it cannot
+    compound across Ruiz iterations (all-zero constraint rows are legal; the
+    reference declares 20 such throttle rows, constraintsVSMPC.cpp:283)."""
+    inv = 1.0 / jnp.sqrt(jnp.clip(v, lo, hi))
+    return jnp.where(v < lo, jnp.ones_like(inv), inv)
 
 
 def ruiz_equilibration(P, q, A, l, u, iters: int = 10):
@@ -145,17 +156,25 @@ def ruiz_equilibration(P, q, A, l, u, iters: int = 10):
     return P, q, A, l, u, Scaling(D, E, c)
 
 
-def rho_vector(l, u, settings: ADMMSettings):
+def rho_vector(l, u, settings: ADMMSettings, rho_scalar=None):
     """Per-constraint rho: equality rows (l==u) get rho * rho_eq_scale.
 
     Loose rows (l=-inf, u=+inf) get rho * 1e-6 as in OSQP.
     """
+    rho0 = settings.rho if rho_scalar is None else rho_scalar
     eq = (u - l) < settings.eq_tol
     loose = (l < -settings.inf_bound * 0.9) & (u > settings.inf_bound * 0.9)
-    rho = jnp.full(l.shape, settings.rho, l.dtype)
-    rho = jnp.where(loose, settings.rho * 1e-6, rho)
-    rho = jnp.where(eq, settings.rho * settings.rho_eq_scale, rho)
+    rho = jnp.full(l.shape, 1.0, l.dtype) * rho0
+    rho = jnp.where(loose, rho * 1e-6, rho)
+    rho = jnp.where(eq, rho * settings.rho_eq_scale, rho)
     return rho
+
+
+def factorize(P, A, rho_vec, sigma):
+    """Cholesky of the reduced KKT matrix K = P + σI + AᵀρA."""
+    K = P + sigma * jnp.eye(P.shape[-1], dtype=P.dtype)
+    K = K + A.T @ (rho_vec[:, None] * A)
+    return jnp.linalg.cholesky(K)
 
 
 def prepare(P, q, A, l, u, settings: ADMMSettings = ADMMSettings(),
@@ -177,9 +196,7 @@ def prepare(P, q, A, l, u, settings: ADMMSettings = ADMMSettings(),
         l = e * l
         u = e * u
     rho_vec = rho_vector(l, u, settings)
-    K = P + settings.sigma * jnp.eye(P.shape[-1], dtype=P.dtype)
-    K = K + A.T @ (rho_vec[:, None] * A)
-    chol_K = jnp.linalg.cholesky(K)
+    chol_K = factorize(P, A, rho_vec, settings.sigma)
     return QPData(P, q, A, l, u, rho_vec, chol_K, scaling)
 
 
@@ -315,15 +332,40 @@ def solve_prepared(data: QPData, settings: ADMMSettings = ADMMSettings(),
     y = jnp.zeros((m,), dt) if y0 is None else y0 * c / e
     z = jnp.clip(data.A @ x, data.l, data.u)
 
-    def body(carry, _):
-        x, z, y, pinf, dinf = carry
-        x_n, z_n, y_n = _iterate(data, settings, x, z, y)
-        p, dn = _infeasibility_certificates(data, x_n - x, y_n - y, settings)
-        return (x_n, z_n, y_n, pinf | p, dinf | dn), None
+    def segment(data_k, x, z, y, pinf, dinf, length):
+        def body(carry, _):
+            x, z, y, pinf, dinf = carry
+            x_n, z_n, y_n = _iterate(data_k, settings, x, z, y)
+            p, dn = _infeasibility_certificates(
+                data_k, x_n - x, y_n - y, settings)
+            return (x_n, z_n, y_n, pinf | p, dinf | dn), None
+        (x, z, y, pinf, dinf), _ = jax.lax.scan(
+            body, (x, z, y, pinf, dinf), None, length=length)
+        return x, z, y, pinf, dinf
 
-    (x, z, y, pinf, dinf), _ = jax.lax.scan(
-        body, (x, z, y, jnp.asarray(False), jnp.asarray(False)),
-        None, length=settings.max_iter)
+    # staged adaptive rho (OSQP adaption rule, refactorising K at static
+    # iteration marks so vmapped lanes stay in lockstep)
+    marks = [i for i in settings.rho_update_iters if i < settings.max_iter]
+    bounds = [0] + marks + [settings.max_iter]
+    pinf = jnp.asarray(False)
+    dinf = jnp.asarray(False)
+    rho_scalar = jnp.asarray(settings.rho, dt)
+    data_k = data
+    for seg_idx in range(len(bounds) - 1):
+        length = bounds[seg_idx + 1] - bounds[seg_idx]
+        x, z, y, pinf, dinf = segment(data_k, x, z, y, pinf, dinf, length)
+        if seg_idx < len(bounds) - 2:
+            pri, dua, pri_s, dua_s = _residuals(data_k, x, z, y)
+            ratio = jnp.sqrt((pri / jnp.maximum(pri_s, 1e-12))
+                             / jnp.maximum(dua / jnp.maximum(dua_s, 1e-12), 1e-12))
+            new_rho = jnp.clip(rho_scalar * ratio, settings.rho_min,
+                               settings.rho_max)
+            tol = settings.adaptive_rho_tolerance
+            update = (ratio > tol) | (ratio < 1.0 / tol)
+            rho_scalar = jnp.where(update, new_rho, rho_scalar)
+            rho_vec = rho_vector(data.l, data.u, settings, rho_scalar)
+            chol = factorize(data.P, data.A, rho_vec, settings.sigma)
+            data_k = data._replace(rho_vec=rho_vec, chol_K=chol)
 
     if settings.polish:
         x, z, y = polish(data, settings, x, z, y)
@@ -366,25 +408,41 @@ def solve_adaptive(P, q, A, l, u, settings: ADMMSettings = ADMMSettings(),
     y = jnp.zeros((m,), dt) if y0 is None else y0 * c / e
     z = jnp.clip(data.A @ x, data.l, data.u)
 
-    def converged(x, z, y):
-        pri, dua, pri_s, dua_s = _residuals(data, x, z, y)
-        return ((pri <= settings.eps_abs + settings.eps_rel * pri_s)
-                & (dua <= settings.eps_abs + settings.eps_rel * dua_s))
-
     def cond(state):
-        x, z, y, it, done = state
+        x, z, y, rho_s, chol, it, done = state
         return (~done) & (it < settings.max_iter)
 
     def body(state):
-        x, z, y, it, done = state
+        x, z, y, rho_s, chol, it, done = state
+        rho_vec = rho_vector(data.l, data.u, settings, rho_s)
+        data_k = data._replace(rho_vec=rho_vec, chol_K=chol)
         def inner(carry, _):
             x, z, y = carry
-            return _iterate(data, settings, x, z, y), None
+            return _iterate(data_k, settings, x, z, y), None
         (x, z, y), _ = jax.lax.scan(inner, (x, z, y), None, length=check_every)
-        return (x, z, y, it + check_every, converged(x, z, y))
+        pri, dua, pri_s, dua_s = _residuals(data, x, z, y)
+        done = ((pri <= settings.eps_abs + settings.eps_rel * pri_s)
+                & (dua <= settings.eps_abs + settings.eps_rel * dua_s))
+        # OSQP-style rho adaptation between checks
+        ratio = jnp.sqrt((pri / jnp.maximum(pri_s, 1e-12))
+                         / jnp.maximum(dua / jnp.maximum(dua_s, 1e-12), 1e-12))
+        tol = settings.adaptive_rho_tolerance
+        update = ((ratio > tol) | (ratio < 1.0 / tol)) & (~done)
+        rho_new = jnp.where(
+            update, jnp.clip(rho_s * ratio, settings.rho_min, settings.rho_max),
+            rho_s)
+        chol = jnp.where(
+            update,
+            factorize(data.P, data.A,
+                      rho_vector(data.l, data.u, settings, rho_new),
+                      settings.sigma),
+            chol)
+        return (x, z, y, rho_new, chol, it + check_every, done)
 
-    x, z, y, iters, done = jax.lax.while_loop(
-        cond, body, (x, z, y, jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+    x, z, y, _, _, iters, done = jax.lax.while_loop(
+        cond, body,
+        (x, z, y, jnp.asarray(settings.rho, dt), data.chol_K,
+         jnp.asarray(0, jnp.int32), jnp.asarray(False)))
 
     if settings.polish:
         x, z, y = polish(data, settings, x, z, y)

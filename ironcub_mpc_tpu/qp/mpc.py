@@ -1,0 +1,314 @@
+"""The unified multi-rate MPC pipeline as pure functions.
+
+Equivalent of the reference's ``VariableSamplingMPC`` + ``IMPCProblem``
+orchestration (variableSamplingMPC.cpp, IMPCProblem.cpp), re-designed for
+XLA: ``configure`` builds the constant Hessian, the initial reference
+window, the Ruiz scaling and the initial carry; ``mpc_tick`` is one 200 Hz
+controller step — reference-window shift, linearisation, constraint assembly,
+warm-started ADMM solve, command extraction — as a single jittable pure
+function ``(carry, snapshot) -> (carry', output)``.
+
+Multi-rate counters, the RPY unwrap state, trajectory cursors and the ADMM
+warm start are all explicit in :class:`~ironcub_mpc_tpu.core.types.MPCCarry`,
+so closed-loop rollouts are a `lax.scan` and Monte-Carlo sweeps are a `vmap`
+over carries.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import constants as C
+from ..core.config import MPCConfig
+from ..core.types import MPCCarry, MPCOutput, RobotSnapshot
+from ..horizon.schedule import HorizonSchedule
+from ..ops import admm
+from ..ops import jet_model as jm
+from ..ops.so3 import euler_rate_matrix, matrix_to_rpy, unwrap_rpy
+from . import assembly
+from .blocks import LambdaInit, LinearizedDynamics, linearize
+
+
+class MPCProblem(NamedTuple):
+    """Arrays fixed at configure time (pytree; pairs with static cfg/sched)."""
+
+    H: jnp.ndarray                   # [n_var, n_var] constant Hessian
+    Q: jnp.ndarray                   # [26, 26] state weight block
+    lambda_init: LambdaInit
+    joint_pos_ref_ctrl: jnp.ndarray  # [n_ctrl] initial posture of controlled joints
+    com_pos_init: jnp.ndarray        # [3] CoM at configure (trajectory offset)
+    rpy_init: jnp.ndarray            # [3] RPY at configure (trajectory offset)
+    traj_pos: jnp.ndarray            # [T, 3] positionCoM channel @ large-step fps
+    traj_vel: jnp.ndarray            # [T, 3] velocityCoM
+    traj_rpy: jnp.ndarray            # [T, 3] RPY
+    traj_rpydot: jnp.ndarray         # [T, 3] RPYDot
+    alpha_traj: jnp.ndarray          # [Ta] alphaGravity upsampled to MPC fps
+    scaling: admm.Scaling            # fixed equilibration (OSQP setup-time)
+
+
+# ---------------------------------------------------------------------------
+# reference window helpers (ReferenceTrackingCost, costsVSMPC.cpp:74-286)
+# ---------------------------------------------------------------------------
+
+
+def _window_column(problem: MPCProblem, snap: RobotSnapshot, idx):
+    """One new reference column at trajectory cursor ``idx``.
+
+    pos = c₀ + p_ref;  h_lin = Rᵀ m v_ref;  rpy = φ₀ + φ_ref;
+    h_ang = I_lock W(φ) φ̇_ref — R, I, W from the *current* measured state
+    (costsVSMPC.cpp:103-117,126-149,266-286).
+    """
+    i = jnp.clip(idx, 0, problem.traj_pos.shape[0] - 1)
+    p = problem.com_pos_init + jnp.take(problem.traj_pos, i, axis=0)
+    lin = snap.w_R_b.T @ (snap.total_mass * jnp.take(problem.traj_vel, i, axis=0))
+    rpy_col = problem.rpy_init + jnp.take(problem.traj_rpy, i, axis=0)
+    rpy_now = matrix_to_rpy(snap.w_R_b)
+    W = euler_rate_matrix(rpy_now)
+    ang = snap.inertia_locked @ (W @ jnp.take(problem.traj_rpydot, i, axis=0))
+    return p, lin, rpy_col, ang
+
+
+def _shift_window(win, new_col):
+    return jnp.concatenate([win[:, 1:], new_col[:, None]], axis=1)
+
+
+def _advance_ref(cfg: MPCConfig, problem: MPCProblem, carry: MPCCarry,
+                 snap: RobotSnapshot):
+    """Every ratio-th tick: advance the trajectory cursor, shift the rolling
+    window and refresh the 'current reference' published to the QP input
+    (costsVSMPC.cpp:121-165)."""
+    shift = carry.ref_counter == (cfg.ratio_small_large - 1)
+
+    idx_next = jnp.minimum(carry.pos_traj_idx + 1, problem.traj_pos.shape[0] - 1)
+    p, lin, rpy_col, ang = _window_column(problem, snap, idx_next)
+
+    pos_w = jnp.where(shift, _shift_window(carry.pos_com_ref, p), carry.pos_com_ref)
+    lin_w = jnp.where(shift, _shift_window(carry.lin_mom_ref, lin), carry.lin_mom_ref)
+    rpy_w = jnp.where(shift, _shift_window(carry.rpy_ref, rpy_col), carry.rpy_ref)
+    ang_w = jnp.where(shift, _shift_window(carry.ang_mom_ref, ang), carry.ang_mom_ref)
+
+    pos_now = jnp.where(shift, pos_w[:, 0], carry.pos_com_ref_now)
+    rpy_now = jnp.where(shift, rpy_w[:, 0], carry.rpy_ref_now)
+    mom_now = jnp.where(
+        shift, jnp.concatenate([lin_w[:, 0], ang_w[:, 0]]), carry.mom_ref_now)
+
+    return carry._replace(
+        pos_com_ref=pos_w, lin_mom_ref=lin_w, rpy_ref=rpy_w, ang_mom_ref=ang_w,
+        pos_com_ref_now=pos_now, rpy_ref_now=rpy_now, mom_ref_now=mom_now,
+        pos_traj_idx=jnp.where(shift, idx_next, carry.pos_traj_idx),
+        ref_counter=jnp.where(shift, 0, carry.ref_counter + 1),
+    )
+
+
+# ---------------------------------------------------------------------------
+# initial state (ConstraintInitialState, constraintsVSMPC.cpp:206-247)
+# ---------------------------------------------------------------------------
+
+
+def _initial_state(cfg: MPCConfig, carry: MPCCarry, snap: RobotSnapshot,
+                   est_thrust_dot):
+    rpy_raw = matrix_to_rpy(snap.w_R_b)
+    rpy_unwrapped, n_turns = unwrap_rpy(rpy_raw, carry.rpy_old, carry.n_turns)
+    x0 = jnp.zeros((cfg.n_states,), snap.com_pos.dtype)
+    x0 = x0.at[C.COM_POS].set(snap.com_pos)
+    x0 = x0.at[C.LIN_MOM].set(snap.momentum_body[:3])
+    x0 = x0.at[C.RPY].set(rpy_unwrapped)
+    x0 = x0.at[C.ANG_MOM].set(snap.momentum_body[3:])
+    if cfg.use_estimated_thrust:
+        x0 = x0.at[C.THRUST].set(snap.jet_thrusts)
+        x0 = x0.at[C.THRUST_DOT].set(est_thrust_dot)
+    else:
+        x0 = x0.at[C.THRUST].set(carry.thrust_des)
+        x0 = x0.at[C.THRUST_DOT].set(carry.thrust_dot_des)
+    x0 = x0.at[C.POS_ERR].set(snap.com_pos - carry.pos_com_ref_now)
+    x0 = x0.at[C.RPY_ERR].set(rpy_unwrapped - carry.rpy_ref_now)
+    return x0, rpy_raw, n_turns
+
+
+# ---------------------------------------------------------------------------
+# configure
+# ---------------------------------------------------------------------------
+
+
+def configure(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
+              snap0: RobotSnapshot, traj_channels: dict, alpha_traj,
+              settings: admm.ADMMSettings = admm.ADMMSettings(),
+              est_thrust_dot=None, initial_throttle=None,
+              dtype=jnp.float32) -> Tuple[MPCProblem, MPCCarry]:
+    """Build problem constants and the initial carry.
+
+    Mirrors ``IMPCProblem::configure`` (IMPCProblem.cpp:3-148): each block's
+    first compute runs here, which advances the reference window once (the
+    tracking-cost counter starts saturated, costsVSMPC.cpp:118) and the
+    alphaGravity cursor once, and computes the equilibration from the first
+    assembled QP (OSQP scales at setup only).
+    """
+    f = lambda a: jnp.asarray(a, dtype)
+    est_thrust_dot = f(jnp.zeros(4)) if est_thrust_dot is None else f(est_thrust_dot)
+    initial_throttle = f(jnp.zeros(4)) if initial_throttle is None else f(initial_throttle)
+
+    rpy0 = matrix_to_rpy(snap0.w_R_b)
+    lam_init = LambdaInit(
+        rel_jac_lin=f(snap0.rel_jac_lin),
+        rel_jac_ang=f(snap0.rel_jac_ang),
+        jet_axes_world=f(snap0.jet_axes_world),
+        jet_arms_world=f(snap0.jet_arms_world),
+        rpy_init=f(rpy0),
+    )
+
+    problem = MPCProblem(
+        H=f(assembly.build_hessian(cfg)),
+        Q=f(assembly.state_weight_matrix(cfg)),
+        lambda_init=lam_init,
+        joint_pos_ref_ctrl=f(snap0.joint_pos[jnp.asarray(joint_sel)]),
+        com_pos_init=f(snap0.com_pos),
+        rpy_init=f(rpy0),
+        traj_pos=f(traj_channels["positionCoM"]),
+        traj_vel=f(traj_channels["velocityCoM"]),
+        traj_rpy=f(traj_channels["RPY"]),
+        traj_rpydot=f(traj_channels["RPYDot"]),
+        alpha_traj=f(alpha_traj),
+        scaling=admm.Scaling(jnp.ones(cfg.n_var, dtype),
+                             jnp.ones(cfg.n_constraints, dtype),
+                             jnp.asarray(1.0, dtype)),
+    )
+
+    # initial window: every column = first trajectory sample
+    # (costsVSMPC.cpp:103-117)
+    p0, lin0, rpyc0, ang0 = _window_column(problem, snap0, jnp.asarray(0))
+    n_ref = cfg.n_reference_knots
+    carry = MPCCarry(
+        rpy_old=f(rpy0), n_turns=jnp.zeros(3, jnp.int32),
+        # both counters start saturated so the configure-time first compute
+        # leaves them at 0 (constraintsVSMPC.cpp:335, costsVSMPC.cpp:118)
+        throttle_counter=jnp.asarray(cfg.ratio_small_large - 1, jnp.int32),
+        ref_counter=jnp.asarray(cfg.ratio_small_large - 1, jnp.int32),
+        pos_com_ref=jnp.tile(p0[:, None], (1, n_ref)),
+        lin_mom_ref=jnp.tile(lin0[:, None], (1, n_ref)),
+        rpy_ref=jnp.tile(rpyc0[:, None], (1, n_ref)),
+        ang_mom_ref=jnp.tile(ang0[:, None], (1, n_ref)),
+        pos_com_ref_now=f(p0), rpy_ref_now=f(rpyc0),
+        mom_ref_now=jnp.concatenate([lin0, ang0]),
+        pos_traj_idx=jnp.asarray(0, jnp.int32),
+        alpha_traj_idx=jnp.asarray(0, jnp.int32),
+        alpha_gravity=f(problem.alpha_traj[0]),
+        thrust_des=f(snap0.jet_thrusts),
+        thrust_dot_des=f(jnp.zeros(4)),
+        throttle_cmd=initial_throttle,
+        joints_pos_ref=f(snap0.joint_pos),
+        warm_x=jnp.zeros(cfg.n_var, dtype),
+        warm_y=jnp.zeros(cfg.n_constraints, dtype),
+    )
+
+    # --- replicate the configure-time first compute --------------------------
+    # (shifts the window once, advances alphaGravity once, computes the
+    # equilibration from the first assembled QP)
+    g, A, lb, ub, carry, _ = _assemble(cfg, sched, joint_sel, problem, carry,
+                                       snap0, est_thrust_dot)
+    P, q, Asc, lsc, usc, scaling = admm.ruiz_equilibration(
+        problem.H, g, A, lb, ub, settings.scaling_iters)
+    problem = problem._replace(scaling=scaling)
+    return problem, carry
+
+
+# ---------------------------------------------------------------------------
+# one tick
+# ---------------------------------------------------------------------------
+
+
+def _assemble(cfg, sched, joint_sel, problem: MPCProblem, carry: MPCCarry,
+              snap: RobotSnapshot, est_thrust_dot):
+    """Gradient + constraints for the current tick; updates the counters,
+    cursors and unwrap state inside ``carry``."""
+    # costs first (they refresh the published references), then constraints —
+    # reference call order in IMPCProblem::update (IMPCProblem.cpp:150-194).
+    carry = _advance_ref(cfg, problem, carry, snap)
+    state_ref = assembly.build_state_reference(
+        cfg, carry.pos_com_ref, carry.lin_mom_ref, carry.rpy_ref,
+        carry.ang_mom_ref)
+    sel = jnp.asarray(joint_sel)
+    g = assembly.build_gradient(
+        cfg, problem.Q, state_ref, carry.joints_pos_ref[sel],
+        problem.joint_pos_ref_ctrl, carry.throttle_cmd)
+
+    # alphaGravity: read-then-advance each linearisation
+    # (systemDynamicsVSMPC.cpp:263-272,308-311)
+    alpha = jnp.take(problem.alpha_traj, carry.alpha_traj_idx)
+    alpha_idx = jnp.minimum(carry.alpha_traj_idx + 1,
+                            problem.alpha_traj.shape[0] - 1)
+
+    lin = linearize(
+        cfg, snap, problem.lambda_init, joint_sel,
+        alpha_gravity=alpha, pos_com_ref_now=carry.pos_com_ref_now,
+        est_thrust_dot=est_thrust_dot, thrust_des=carry.thrust_des,
+        thrust_dot_des=carry.thrust_dot_des, throttle_cmd=carry.throttle_cmd)
+
+    x0, rpy_raw, n_turns = _initial_state(cfg, carry, snap, est_thrust_dot)
+
+    # throttle pin & counter (constraintsVSMPC.cpp:338-374)
+    pin = carry.throttle_counter != (cfg.ratio_small_large - 1)
+    throttle_counter = jnp.where(
+        carry.throttle_counter == cfg.ratio_small_large - 1, 0,
+        carry.throttle_counter + 1)
+
+    A, lb, ub = assembly.assemble_constraints(
+        cfg, sched, lin, x0, pin, carry.throttle_cmd)
+
+    carry = carry._replace(
+        rpy_old=rpy_raw, n_turns=n_turns, alpha_traj_idx=alpha_idx,
+        alpha_gravity=alpha, throttle_counter=throttle_counter)
+    return g, A, lb, ub, carry, lin
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
+             settings: admm.ADMMSettings, problem: MPCProblem,
+             carry: MPCCarry, snap: RobotSnapshot,
+             est_thrust_dot) -> Tuple[MPCCarry, MPCOutput]:
+    """One 200 Hz multi-rate MPC step: update + solve + extract."""
+    g, A, lb, ub, carry, _ = _assemble(
+        cfg, sched, joint_sel, problem, carry, snap, est_thrust_dot)
+
+    data = admm.prepare(problem.H, g, A, lb, ub, settings,
+                        scaling=problem.scaling)
+    sol = admm.solve_prepared(data, settings, x0=carry.warm_x, y0=carry.warm_y)
+
+    # --- extraction (variableSamplingMPC.cpp:88-112) -----------------------
+    solved = sol.status == admm.SOLVED
+    ns = cfg.n_states
+    delta_joints = sol.x[cfg.joints_offset:cfg.joints_offset + cfg.n_ctrl_joints]
+    throttle_v = sol.x[cfg.throttle_offset:cfg.throttle_offset + cfg.n_jets]
+    thrust_des = sol.x[ns + C.THRUST0: ns + C.THRUST0 + 4]
+    thrust_dot_des = sol.x[ns + C.THRUST_DOT0: ns + C.THRUST_DOT0 + 4]
+    final_state = sol.x[ns * cfg.n_iter: ns * (cfg.n_iter + 1)]
+
+    sel = jnp.asarray(joint_sel)
+    joints_new = carry.joints_pos_ref.at[sel].add(delta_joints)
+    throttle_new = jm.destandardize_throttle(throttle_v)
+
+    pick = lambda new, old: jnp.where(solved, new, old)
+    carry = carry._replace(
+        joints_pos_ref=pick(joints_new, carry.joints_pos_ref),
+        throttle_cmd=pick(throttle_new, carry.throttle_cmd),
+        thrust_des=pick(thrust_des, carry.thrust_des),
+        thrust_dot_des=pick(thrust_dot_des, carry.thrust_dot_des),
+        warm_x=sol.x, warm_y=sol.y,
+    )
+
+    out = MPCOutput(
+        joints_pos_ref=carry.joints_pos_ref,
+        throttle=carry.throttle_cmd,
+        thrust_des=carry.thrust_des,
+        thrust_dot_des=carry.thrust_dot_des,
+        final_state=final_state,
+        status=sol.status, pri_res=sol.pri_res, dua_res=sol.dua_res,
+        alpha_gravity=carry.alpha_gravity,
+        pos_com_ref=carry.pos_com_ref_now,
+        rpy_ref=carry.rpy_ref_now,
+        mom_ref=carry.mom_ref_now,
+    )
+    return carry, out
