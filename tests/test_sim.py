@@ -1,0 +1,168 @@
+"""Simulation-layer tests: LSTM jet model (torch oracle), batched EKF,
+rigid-body plant physics, and a closed-loop smoke test."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ironcub_mpc_tpu.core.config import MPCConfig, RobotConfig, SimConfig
+from ironcub_mpc_tpu.dynamics import KinDyn, build_ironcub_model
+from ironcub_mpc_tpu.ops import admm
+from ironcub_mpc_tpu.ops import jet_model as jm
+from ironcub_mpc_tpu.sim.ekf import JetEKF
+from ironcub_mpc_tpu.sim.jet_lstm import LSTMJetModel
+from ironcub_mpc_tpu.sim.plant import Plant, PlantParams
+
+ROOT = Path(__file__).resolve().parents[1]
+WEIGHTS = ROOT / "data/jet_lstm_weights.npz"
+REF_CKPT = Path("/root/reference/src/mujoco_lib/jet_model_torch/model_7.pth")
+
+
+def test_lstm_step_matches_torch():
+    """Our zero-state LSTM cell vs torch.nn.LSTM with the same weights."""
+    if not REF_CKPT.exists():
+        pytest.skip("reference checkpoint unavailable")
+    import torch
+
+    ck = torch.load(REF_CKPT, map_location="cpu", weights_only=False)
+    lstm = torch.nn.LSTM(2, 80, batch_first=True)
+    fc = torch.nn.Linear(80, 1)
+    state = {k.split(".", 1)[1]: v for k, v in ck["model_state_dict"].items()
+             if k.startswith("lstm.")}
+    lstm.load_state_dict(state)
+    fc.load_state_dict({k.split(".", 1)[1]: v for k, v in
+                        ck["model_state_dict"].items() if k.startswith("fc.")})
+    ours = LSTMJetModel(str(WEIGHTS))
+
+    rng = np.random.default_rng(0)
+    thrust = rng.uniform(0, 220, 16).astype(np.float32)
+    throttle = rng.uniform(0, 100, 16).astype(np.float32)
+    dt = 0.001
+    t_next, td = ours.step(jnp.asarray(thrust), jnp.asarray(throttle), dt)
+
+    md = ck["metadata"]
+    with torch.no_grad():
+        for i in range(16):
+            tn = (thrust[i] - md["thrust_mean"]) / md["thrust_std"]
+            un = (throttle[i] - md["throttle_mean"]) / md["throttle_std"]
+            x = torch.tensor([[[tn, un]]], dtype=torch.float32)
+            h, _ = lstm(x)
+            td_n = fc(h[:, -1, :])
+            t_ref = (tn + float(td_n) * dt) * md["thrust_std"] + md["thrust_mean"]
+            td_ref = float(td_n) * md["thrust_std"]
+            np.testing.assert_allclose(float(t_next[i]), t_ref, rtol=1e-4)
+            np.testing.assert_allclose(float(td[i]), td_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_ekf_tracks_polynomial_plant():
+    """EKF fed with noiseless polynomial-model measurements converges to the
+    true (T, Ṫ) trajectory."""
+    dt = 0.001
+    ekf = JetEKF(dt)
+    T_true = jnp.full(4, 30.0)
+    Td_true = jnp.zeros(4)
+    state = ekf.init(jnp.full(4, 25.0))  # start off-truth
+    u = jnp.full(4, 60.0)
+    for _ in range(300):
+        T_true, Td_true = jm.step(T_true, Td_true, u, dt)
+        state = ekf.update(state, u, T_true, Td_true)
+    np.testing.assert_allclose(np.asarray(state.x[:, 0]), np.asarray(T_true),
+                               rtol=0.02)
+    np.testing.assert_allclose(np.asarray(state.x[:, 1]), np.asarray(Td_true),
+                               rtol=0.1, atol=1.0)
+
+
+@pytest.fixture(scope="module")
+def plant():
+    model = build_ironcub_model()
+    kd = KinDyn(model)
+    return Plant(kd, RobotConfig(), SimConfig(use_nn_jet_dynamics=False))
+
+
+def test_free_fall_momentum(plant):
+    """Airborne with no thrust: ḣ_lin = m g exactly; CoM follows ballistic
+    arc — validates mass matrix + bias forces end to end."""
+    q0 = jnp.zeros(23)
+    s = plant.init_state(np.eye(3), np.array([0.0, 0.0, 5.0]), q0, thrust0=0.0)
+    s = s._replace(thrust_cmd=jnp.zeros(4))
+    kd = plant.kd
+    n_steps = 200
+    s2 = jax.jit(lambda s: plant.step(s, n_steps))(s)
+    t = n_steps * plant.dt
+    # base z follows -g t^2 / 2 (CoM and base fall together, no contact)
+    np.testing.assert_allclose(float(s2.base_p[2]), 5.0 - 0.5 * 9.81 * t * t,
+                               atol=2e-3)
+    # total linear momentum = m g t downward
+    ls = kd.fk(s2.base_R, s2.base_p, s2.q)
+    J = kd.link_spatial_jacobians(ls, s2.base_p)
+    I_sp, c_w, _ = kd.link_spatial_inertias(ls)
+    A_O = kd.momentum_matrix_origin(J, I_sp)
+    nu = jnp.concatenate([s2.base_v, s2.qd])
+    h = np.asarray(A_O @ nu)
+    m = plant.kd.model.total_mass
+    np.testing.assert_allclose(h[2], -m * 9.81 * t, rtol=5e-3)
+    np.testing.assert_allclose(h[0:2], 0.0, atol=0.05)
+
+
+def test_thrust_hover_force(plant):
+    """Airborne with thrust = m g / (4 cos(tilt)): vertical momentum stays
+    near zero — validates jet force application through the Jacobians."""
+    q0 = jnp.asarray(np.radians(SimConfig().initial_position_deg), jnp.float32)
+    kd = plant.kd
+    # compute exact axis tilt at this posture to pick hover thrust
+    from ironcub_mpc_tpu.dynamics import compute_snapshot
+    snap = compute_snapshot(kd, RobotConfig().jets_list, jnp.eye(3),
+                            jnp.asarray([0., 0., 5.0]), jnp.zeros(6), q0,
+                            jnp.zeros(23), jnp.zeros(4))
+    z_sum = float(jnp.sum(snap.jet_axes_world[:, 2]))
+    hover = kd.model.total_mass * 9.81 / z_sum
+    s = plant.init_state(np.eye(3), np.array([0.0, 0.0, 5.0]), q0,
+                         thrust0=hover)
+    s2 = jax.jit(lambda s: plant.step(s, 100))(s)
+    # falls much slower than ballistic (net force ~ 0 initially)
+    assert abs(float(s2.base_p[2]) - 5.0) < 0.01
+
+
+def test_standing_is_stable(plant):
+    """Ground contact + PD holds the shipped initial posture."""
+    import sys
+    sys.path.insert(0, str(ROOT / "examples"))
+    from closed_loop_demo import standing_state
+    s = standing_state(plant, SimConfig().initial_position_deg)
+    s2 = jax.jit(lambda s: plant.step(s, 1500))(s)
+    assert bool(jnp.all(jnp.isfinite(s2.base_p)))
+    assert abs(float(s2.base_p[2]) - float(s.base_p[2])) < 0.02
+    # stays upright
+    assert float(s2.base_R[2, 2]) > 0.98
+    # joint velocities damp out
+    assert float(jnp.max(jnp.abs(s2.qd))) < 0.5
+
+
+def test_closed_loop_smoke():
+    """20 MPC ticks over the full plant: every solve succeeds and the robot
+    does not move appreciably (standing regulation)."""
+    import sys
+    sys.path.insert(0, str(ROOT / "examples"))
+    from closed_loop_demo import standing_state
+
+    from ironcub_mpc_tpu.runtime.loop import ClosedLoop
+
+    model = build_ironcub_model()
+    kd = KinDyn(model)
+    plant = Plant(kd, RobotConfig(), SimConfig(use_nn_jet_dynamics=False))
+    loop = ClosedLoop(plant, MPCConfig(), admm.ADMMSettings(max_iter=80))
+    s = standing_state(plant, SimConfig().initial_position_deg)
+    s = jax.jit(lambda s: loop.settle(s, 0.3))(s)
+    channels = {k: np.zeros((30, 3)) for k in
+                ("positionCoM", "velocityCoM", "RPY", "RPYDot")}
+    problem, carry = loop.configure(s, channels, np.full(600, 0.08))
+    carry, tel = loop.rollout_jit()(problem, carry, 20)
+    st = np.asarray(tel.solver_status)
+    assert np.all((st == admm.SOLVED) | (st == admm.SOLVED_INACCURATE)), st
+    drift = np.linalg.norm(
+        np.asarray(tel.com_position[-1]) - np.asarray(tel.com_position[0]))
+    assert drift < 0.02
