@@ -58,6 +58,10 @@ class MPCConfig:
     # throttle bounds [%]
     throttle_min: float = 0.0                  # throttleMin
     throttle_max: float = 100.0                # throttleMax
+    # QP solve strategy (TPU-build extension; not in the reference config):
+    # "condensed" — exact state elimination to a 120-var box QP (fast path);
+    # "full"      — sparse-form 588x512 QP like the reference's OSQP setup.
+    qp_solver: str = "condensed"
     # trajectory files (groups TRAJECTORY_MANAGER / POSITION_TRAJECTORY)
     alpha_gravity_trajectory: str = "data/trajectories/alpha_gravity.npz"
     position_trajectory: str = "data/trajectories/minimum_jerk.npz"

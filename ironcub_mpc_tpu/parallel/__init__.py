@@ -1,0 +1,7 @@
+from .mesh import make_mesh, scenario_sharding  # noqa: F401
+from .monte_carlo import (  # noqa: F401
+    ScenarioConfig,
+    SweepResult,
+    make_batched_carry,
+    run_sweep,
+)

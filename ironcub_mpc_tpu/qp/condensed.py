@@ -1,0 +1,276 @@
+"""Condensed multi-rate MPC solve — the TPU-native fast path.
+
+The full-space QP (588 vars / 512 rows, qp/assembly.py) has *only* equality
+rows (dynamics + initial state) plus box rows on the 24 throttle knots.
+Eliminating the states through the dynamics is therefore **exact**: the
+condensed problem
+
+    min_u  ½ uᵀ H_c u + q_cᵀ u    s.t.  lb ≤ u_throttle ≤ ub
+
+over u = [Δq_0..Δq_{ch-1} | v_0..v_{nk-1}] (120 vars for the stock config)
+has the same minimiser as the sparse form — verified in tests against the
+full-space solver. Per-solve cost drops from ~600 MFLOP (dense KKT
+formation + 1100-row polish) to ~10 MFLOP, all of it MXU-friendly batched
+matmuls, which is what makes thousands of solves/s per chip possible.
+
+Solver: the same OSQP scheme as :mod:`ironcub_mpc_tpu.ops.admm`, specialised
+to a variable-selector constraint matrix — AᵀρA is a diagonal update, Ax is a
+gather — plus Schur-complement polish on the active box rows. All matmuls are
+forced to ``highest`` precision (TPU f32 defaults to bf16-grade passes that a
+QP cannot tolerate).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core import constants as C
+from ..core.config import MPCConfig
+from ..horizon.schedule import HorizonSchedule
+from ..ops import admm
+from ..ops import jet_model as jm
+from .blocks import LinearizedDynamics
+
+
+class CondensedQP(NamedTuple):
+    H: jnp.ndarray        # [nU, nU]
+    q: jnp.ndarray        # [nU]
+    lb: jnp.ndarray       # [n_box] bounds on the throttle tail of u
+    ub: jnp.ndarray       # [n_box]
+    F: jnp.ndarray        # [nIter, 26, nU] state-from-input map
+    f: jnp.ndarray        # [nIter, 26] affine state response
+
+
+class CondensedSolution(NamedTuple):
+    u: jnp.ndarray        # [nU]
+    y: jnp.ndarray        # [n_box] box duals
+    states: jnp.ndarray   # [nIter, 26] predicted states x_1..x_nIter
+    status: jnp.ndarray
+    pri_res: jnp.ndarray
+    dua_res: jnp.ndarray
+
+
+def n_inputs(cfg: MPCConfig) -> int:
+    return (cfg.n_ctrl_joints * cfg.control_horizon
+            + cfg.n_jets * cfg.n_throttle_knots)
+
+
+def build_hu(cfg: MPCConfig) -> np.ndarray:
+    """Constant input-space Hessian: joint-delta + joint-position
+    regularisation per control knot, throttle-rate tridiagonal, initial
+    throttle pull (costsVSMPC.cpp:369-413,468-477,558-573)."""
+    nU = n_inputs(cfg)
+    nj, nt, ch = cfg.n_ctrl_joints, cfg.n_jets, cfg.control_horizon
+    H = np.zeros((nU, nU))
+    wj = np.diag(cfg.weight_delta_joint) + (
+        cfg.weight_regularization_joint_pos * np.eye(nj))
+    for i in range(ch):
+        H[i * nj:(i + 1) * nj, i * nj:(i + 1) * nj] += wj
+    to = nj * ch
+    wt = cfg.weight_throttle * np.eye(nt)
+    for i in range(ch - cfg.n_iter_small):
+        a, b = to + i * nt, to + (i + 1) * nt
+        H[a:a + nt, a:a + nt] += wt
+        H[b:b + nt, b:b + nt] += wt
+        H[a:a + nt, b:b + nt] -= wt
+        H[b:b + nt, a:a + nt] -= wt
+    H[to:to + nt, to:to + nt] += cfg.weight_initial_throttle * np.eye(nt)
+    return H
+
+
+def condense(cfg: MPCConfig, sched: HorizonSchedule, lin: LinearizedDynamics,
+             x0, state_reference, q_diag, H_u, joint_reg_grad,
+             throttle_init_grad, pin_first_knot, throttle_cmd) -> CondensedQP:
+    """Propagate the discrete dynamics and fold the tracking cost into u.
+
+    x_{k+1} = (I + Δt_k Ac) x_k + Δt_k (BJ Δq_{jk(k)} + BT v_{tk(k)} + c)
+    with the static blocking maps from the schedule; then
+    H_c = Σ F_kᵀ Q F_k + H_u,  q_c = Σ F_kᵀ Q (f_k − r_k) + q_u.
+    """
+    ns = cfg.n_states
+    nU = n_inputs(cfg)
+    nj, nt, ch = cfg.n_ctrl_joints, cfg.n_jets, cfg.control_horizon
+    dt_ = lin.Ac.dtype
+    with jax.default_matmul_precision("highest"):
+        Fs, fs = [], []
+        F = jnp.zeros((ns, nU), dt_)
+        f = x0
+        eye = jnp.eye(ns, dtype=dt_)
+        for k in range(cfg.n_iter):
+            dtk = sched.dts[k]
+            Ad = eye + dtk * lin.Ac
+            Mk = jnp.zeros((ns, nU), dt_)
+            jc = sched.joint_knot_of_step[k] * nj
+            Mk = Mk.at[:, jc:jc + nj].add(dtk * lin.BJ)
+            tc = nj * ch + sched.throttle_knot_of_step[k] * nt
+            Mk = Mk.at[:, tc:tc + nt].add(dtk * lin.BT)
+            F = Ad @ F + Mk
+            f = Ad @ f + dtk * lin.c
+            Fs.append(F)
+            fs.append(f)
+        F_all = jnp.stack(Fs)                      # [nIter, 26, nU]
+        f_all = jnp.stack(fs)                      # [nIter, 26]
+        r = state_reference.T                      # [nIter, 26]
+        H = jnp.einsum("kan,a,kam->nm", F_all, q_diag, F_all) + H_u
+        q = jnp.einsum("kan,a,ka->n", F_all, q_diag, f_all - r)
+        q = q.at[:nj * ch].add(jnp.tile(joint_reg_grad, ch))
+        q = q.at[nj * ch:nj * ch + nt].add(throttle_init_grad)
+
+    v_min = jm.throttle_to_v(jnp.asarray(cfg.throttle_min, dt_))
+    v_max = jm.throttle_to_v(jnp.asarray(cfg.throttle_max, dt_))
+    v_applied = jm.throttle_to_v(throttle_cmd)
+    n_box = nt * cfg.n_throttle_knots
+    lb = jnp.full((n_box,), v_min, dt_)
+    ub = jnp.full((n_box,), v_max, dt_)
+    lo0 = jnp.where(pin_first_knot, v_applied, lb[:nt])
+    hi0 = jnp.where(pin_first_knot, v_applied, ub[:nt])
+    lb = lb.at[:nt].set(lo0)
+    ub = ub.at[:nt].set(hi0)
+    return CondensedQP(H=H, q=q, lb=lb, ub=ub, F=F_all, f=f_all)
+
+
+def solve(cfg: MPCConfig, qp: CondensedQP,
+          settings: admm.ADMMSettings, warm_u=None,
+          warm_y=None) -> CondensedSolution:
+    """Box-constrained ADMM with selector structure + Schur polish."""
+    nU = qp.H.shape[0]
+    n_box = qp.lb.shape[0]
+    box0 = nU - n_box                       # throttle tail offset
+    dt_ = qp.H.dtype
+
+    with jax.default_matmul_precision("highest"):
+        # --- Ruiz equilibration on [[H, Sᵀ],[S, 0]]; S is a selector, so its
+        # row/col norms are 1 after the first pass — equilibrate H + cost.
+        D = jnp.ones((nU,), dt_)
+        c_s = jnp.asarray(1.0, dt_)
+        H, q = qp.H, qp.q
+        for _ in range(settings.scaling_iters):
+            d = admm._safe_inv_sqrt(jnp.max(jnp.abs(H), axis=0))
+            # selector columns also carry a 1 in the stacked KKT matrix
+            d = d.at[box0:].set(
+                admm._safe_inv_sqrt(jnp.maximum(
+                    jnp.max(jnp.abs(H[:, box0:]), axis=0), 1.0)))
+            H = d[:, None] * H * d[None, :]
+            q = d * q
+            D = D * d
+            g = 1.0 / jnp.clip(jnp.maximum(jnp.mean(jnp.max(jnp.abs(H), 0)),
+                                           jnp.max(jnp.abs(q))), 1e-8, 1e8)
+            H, q, c_s = g * H, g * q, c_s * g
+        E = 1.0 / D[box0:]                 # row scaling of S D = diag(D_box)
+        lb, ub = E * qp.lb, E * qp.ub
+
+        eq = (ub - lb) < settings.eq_tol
+        rho0 = jnp.where(eq, settings.rho * settings.rho_eq_scale,
+                         settings.rho)
+
+        def factor(rho_vec):
+            K = H + settings.sigma * jnp.eye(nU, dtype=dt_)
+            K = K.at[jnp.arange(box0, nU), jnp.arange(box0, nU)].add(rho_vec)
+            chol = jnp.linalg.cholesky(K)
+            # explicit inverse: iterations become pure matmuls on the MXU
+            return jax.lax.linalg.triangular_solve(
+                chol,
+                jax.lax.linalg.triangular_solve(
+                    chol, jnp.eye(nU, dtype=dt_), left_side=True, lower=True),
+                left_side=True, lower=True, transpose_a=True)
+
+        x = jnp.zeros((nU,), dt_) if warm_u is None else warm_u / D
+        y = jnp.zeros((n_box,), dt_) if warm_y is None else warm_y * c_s / E
+        z = jnp.clip(x[box0:], lb, ub)
+
+        def run_segment(Kinv, rho_vec, x, z, y, length):
+            def body(carry, _):
+                x, z, y = carry
+                rhs = settings.sigma * x - q
+                rhs = rhs.at[box0:].add(rho_vec * z - y)
+                x_t = Kinv @ rhs
+                z_t = x_t[box0:]
+                x_n = settings.alpha * x_t + (1 - settings.alpha) * x
+                z_rel = settings.alpha * z_t + (1 - settings.alpha) * z
+                z_un = z_rel + y / rho_vec
+                z_n = jnp.clip(z_un, lb, ub)
+                y_n = rho_vec * (z_un - z_n)
+                return (x_n, z_n, y_n), None
+            (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=length)
+            return x, z, y
+
+        def residuals(x, z, y):
+            pri = jnp.max(jnp.abs((x[box0:] - z) / E))
+            grad = H @ x + q
+            grad = grad.at[box0:].add(y)
+            dua = jnp.max(jnp.abs(grad / D)) / c_s
+            pri_s = jnp.maximum(jnp.max(jnp.abs(x[box0:] / E)),
+                                jnp.max(jnp.abs(z / E)))
+            dua_s = jnp.max(jnp.abs((H @ x) / D)) / c_s
+            return pri, dua, pri_s, dua_s
+
+        marks = [i for i in settings.rho_update_iters if i < settings.max_iter]
+        bounds = [0] + marks + [settings.max_iter]
+        rho_scalar = jnp.asarray(settings.rho, dt_)
+        rho_vec = rho0
+        Kinv = factor(rho_vec)
+        for si in range(len(bounds) - 1):
+            x, z, y = run_segment(Kinv, rho_vec, x, z, y,
+                                  bounds[si + 1] - bounds[si])
+            if si < len(bounds) - 2:
+                pri, dua, pri_s, dua_s = residuals(x, z, y)
+                ratio = jnp.sqrt((pri / jnp.maximum(pri_s, 1e-12))
+                                 / jnp.maximum(dua / jnp.maximum(dua_s, 1e-12),
+                                               1e-12))
+                upd = (ratio > settings.adaptive_rho_tolerance) | (
+                    ratio < 1.0 / settings.adaptive_rho_tolerance)
+                rho_scalar = jnp.where(
+                    upd, jnp.clip(rho_scalar * ratio, settings.rho_min,
+                                  settings.rho_max), rho_scalar)
+                rho_vec = jnp.where(eq, rho_scalar * settings.rho_eq_scale,
+                                    rho_scalar)
+                Kinv = jnp.where(upd, factor(rho_vec), Kinv)
+
+        # --- Schur polish on the active box set ---------------------------
+        if settings.polish:
+            delta = jnp.asarray(settings.delta_polish, dt_)
+            low = (y < 0) | eq
+            up = (y > 0) | eq
+            active = (low | up).astype(dt_)
+            b_act = jnp.where(y < 0, lb, ub)
+            b_act = jnp.where(eq, ub, b_act)
+            # KKT [[H+δI, Sᵀ_a],[S_a, -δI]] reduced: (H + δI + SᵀaSa/δ) x =
+            # -q + Sᵀa b/δ
+            G = H + delta * jnp.eye(nU, dtype=dt_)
+            G = G.at[jnp.arange(box0, nU), jnp.arange(box0, nU)].add(
+                active / delta)
+            rhs = -q
+            rhs = rhs.at[box0:].add(active * b_act / delta)
+            cholG = jnp.linalg.cholesky(G)
+            x_p = admm._cho_solve(cholG, rhs)
+            for _ in range(settings.polish_refine_iters):
+                # refinement against the same regularised operator
+                r = rhs - (G @ x_p)
+                x_p = x_p + admm._cho_solve(cholG, r)
+            y_p = jnp.where(active > 0, (x_p[box0:] - b_act) / delta, 0.0)
+            z_p = jnp.clip(x_p[box0:], lb, ub)
+            p0, d0, _, _ = residuals(x, z, y)
+            p1, d1, _, _ = residuals(x_p, z_p, y_p)
+            better = (p1 + d1) < (p0 + d0)
+            x = jnp.where(better, x_p, x)
+            z = jnp.where(better, z_p, z)
+            y = jnp.where(better, y_p, y)
+
+        pri, dua, pri_s, dua_s = residuals(x, z, y)
+        solved = ((pri <= settings.eps_abs + settings.eps_rel * pri_s)
+                  & (dua <= settings.eps_abs + settings.eps_rel * dua_s))
+        inacc = ((pri <= 10 * (settings.eps_abs + settings.eps_rel * pri_s))
+                 & (dua <= 10 * (settings.eps_abs + settings.eps_rel * dua_s)))
+        status = jnp.where(solved, admm.SOLVED,
+                           jnp.where(inacc, admm.SOLVED_INACCURATE,
+                                     admm.MAX_ITER_REACHED))
+        u = x * D
+        states = jnp.einsum("kan,n->ka", qp.F, u) + qp.f
+    return CondensedSolution(
+        u=u, y=y * E / c_s, states=states, status=status.astype(jnp.int32),
+        pri_res=pri, dua_res=dua)

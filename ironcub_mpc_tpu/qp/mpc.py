@@ -30,6 +30,7 @@ from ..ops import admm
 from ..ops import jet_model as jm
 from ..ops.so3 import euler_rate_matrix, matrix_to_rpy, unwrap_rpy
 from . import assembly
+from . import condensed
 from .blocks import LambdaInit, LinearizedDynamics, linearize
 
 
@@ -37,6 +38,7 @@ class MPCProblem(NamedTuple):
     """Arrays fixed at configure time (pytree; pairs with static cfg/sched)."""
 
     H: jnp.ndarray                   # [n_var, n_var] constant Hessian
+    H_u: jnp.ndarray                 # [nU, nU] constant input-space Hessian
     Q: jnp.ndarray                   # [26, 26] state weight block
     lambda_init: LambdaInit
     joint_pos_ref_ctrl: jnp.ndarray  # [n_ctrl] initial posture of controlled joints
@@ -162,6 +164,7 @@ def configure(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...]
 
     problem = MPCProblem(
         H=f(assembly.build_hessian(cfg)),
+        H_u=f(condensed.build_hu(cfg)),
         Q=f(assembly.state_weight_matrix(cfg)),
         lambda_init=lam_init,
         joint_pos_ref_ctrl=f(snap0.joint_pos[jnp.asarray(joint_sel)]),
@@ -200,8 +203,12 @@ def configure(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...]
         thrust_dot_des=f(jnp.zeros(4)),
         throttle_cmd=initial_throttle,
         joints_pos_ref=f(snap0.joint_pos),
-        warm_x=jnp.zeros(cfg.n_var, dtype),
-        warm_y=jnp.zeros(cfg.n_constraints, dtype),
+        warm_x=jnp.zeros(
+            condensed.n_inputs(cfg) if cfg.qp_solver == "condensed"
+            else cfg.n_var, dtype),
+        warm_y=jnp.zeros(
+            cfg.n_jets * cfg.n_throttle_knots if cfg.qp_solver == "condensed"
+            else cfg.n_constraints, dtype),
     )
 
     # --- replicate the configure-time first compute --------------------------
@@ -220,20 +227,23 @@ def configure(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...]
 # ---------------------------------------------------------------------------
 
 
-def _assemble(cfg, sched, joint_sel, problem: MPCProblem, carry: MPCCarry,
-              snap: RobotSnapshot, est_thrust_dot):
-    """Gradient + constraints for the current tick; updates the counters,
-    cursors and unwrap state inside ``carry``."""
-    # costs first (they refresh the published references), then constraints —
-    # reference call order in IMPCProblem::update (IMPCProblem.cpp:150-194).
+class TickPrep(NamedTuple):
+    state_ref: jnp.ndarray
+    lin: LinearizedDynamics
+    x0: jnp.ndarray
+    pin: jnp.ndarray
+
+
+def _tick_prep(cfg, joint_sel, problem: MPCProblem, carry: MPCCarry,
+               snap: RobotSnapshot, est_thrust_dot):
+    """Shared per-tick work: reference shift, linearisation, initial state,
+    multi-rate counters — updates carry in place of the reference's hidden
+    per-block state (IMPCProblem::update call order, IMPCProblem.cpp:150-194:
+    costs first — they refresh the published references — then constraints)."""
     carry = _advance_ref(cfg, problem, carry, snap)
     state_ref = assembly.build_state_reference(
         cfg, carry.pos_com_ref, carry.lin_mom_ref, carry.rpy_ref,
         carry.ang_mom_ref)
-    sel = jnp.asarray(joint_sel)
-    g = assembly.build_gradient(
-        cfg, problem.Q, state_ref, carry.joints_pos_ref[sel],
-        problem.joint_pos_ref_ctrl, carry.throttle_cmd)
 
     # alphaGravity: read-then-advance each linearisation
     # (systemDynamicsVSMPC.cpp:263-272,308-311)
@@ -255,13 +265,24 @@ def _assemble(cfg, sched, joint_sel, problem: MPCProblem, carry: MPCCarry,
         carry.throttle_counter == cfg.ratio_small_large - 1, 0,
         carry.throttle_counter + 1)
 
-    A, lb, ub = assembly.assemble_constraints(
-        cfg, sched, lin, x0, pin, carry.throttle_cmd)
-
     carry = carry._replace(
         rpy_old=rpy_raw, n_turns=n_turns, alpha_traj_idx=alpha_idx,
         alpha_gravity=alpha, throttle_counter=throttle_counter)
-    return g, A, lb, ub, carry, lin
+    return carry, TickPrep(state_ref=state_ref, lin=lin, x0=x0, pin=pin)
+
+
+def _assemble(cfg, sched, joint_sel, problem: MPCProblem, carry: MPCCarry,
+              snap: RobotSnapshot, est_thrust_dot):
+    """Full-space gradient + constraint stack for the current tick."""
+    carry, prep = _tick_prep(cfg, joint_sel, problem, carry, snap,
+                             est_thrust_dot)
+    sel = jnp.asarray(joint_sel)
+    g = assembly.build_gradient(
+        cfg, problem.Q, prep.state_ref, carry.joints_pos_ref[sel],
+        problem.joint_pos_ref_ctrl, carry.throttle_cmd)
+    A, lb, ub = assembly.assemble_constraints(
+        cfg, sched, prep.lin, prep.x0, prep.pin, carry.throttle_cmd)
+    return g, A, lb, ub, carry, prep.lin
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))
@@ -269,24 +290,55 @@ def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
              settings: admm.ADMMSettings, problem: MPCProblem,
              carry: MPCCarry, snap: RobotSnapshot,
              est_thrust_dot) -> Tuple[MPCCarry, MPCOutput]:
-    """One 200 Hz multi-rate MPC step: update + solve + extract."""
-    g, A, lb, ub, carry, _ = _assemble(
-        cfg, sched, joint_sel, problem, carry, snap, est_thrust_dot)
+    """One 200 Hz multi-rate MPC step: update + solve + extract.
 
-    data = admm.prepare(problem.H, g, A, lb, ub, settings,
-                        scaling=problem.scaling)
-    sol = admm.solve_prepared(data, settings, x0=carry.warm_x, y0=carry.warm_y)
-
-    # --- extraction (variableSamplingMPC.cpp:88-112) -----------------------
-    solved = sol.status == admm.SOLVED
-    ns = cfg.n_states
-    delta_joints = sol.x[cfg.joints_offset:cfg.joints_offset + cfg.n_ctrl_joints]
-    throttle_v = sol.x[cfg.throttle_offset:cfg.throttle_offset + cfg.n_jets]
-    thrust_des = sol.x[ns + C.THRUST0: ns + C.THRUST0 + 4]
-    thrust_dot_des = sol.x[ns + C.THRUST_DOT0: ns + C.THRUST_DOT0 + 4]
-    final_state = sol.x[ns * cfg.n_iter: ns * (cfg.n_iter + 1)]
-
+    Solve strategy per ``cfg.qp_solver``: "condensed" eliminates the states
+    exactly into a 120-var box QP (the TPU fast path); "full" solves the
+    sparse 588x512 form like the reference's OSQP setup.
+    """
+    nj, nt = cfg.n_ctrl_joints, cfg.n_jets
     sel = jnp.asarray(joint_sel)
+
+    if cfg.qp_solver == "condensed":
+        carry, prep = _tick_prep(cfg, joint_sel, problem, carry, snap,
+                                 est_thrust_dot)
+        q_diag = jnp.diagonal(problem.Q)
+        joint_reg_grad = cfg.weight_regularization_joint_pos * (
+            carry.joints_pos_ref[sel] - problem.joint_pos_ref_ctrl)
+        throttle_init_grad = (-cfg.weight_initial_throttle
+                              * jm.throttle_to_v(carry.throttle_cmd))
+        qp = condensed.condense(
+            cfg, sched, prep.lin, prep.x0, prep.state_ref, q_diag,
+            problem.H_u, joint_reg_grad, throttle_init_grad, prep.pin,
+            carry.throttle_cmd)
+        csol = condensed.solve(cfg, qp, settings, warm_u=carry.warm_x,
+                               warm_y=carry.warm_y)
+        status, pri_res, dua_res = csol.status, csol.pri_res, csol.dua_res
+        delta_joints = csol.u[:nj]
+        throttle_v = csol.u[nj * cfg.control_horizon:
+                            nj * cfg.control_horizon + nt]
+        thrust_des = csol.states[0, C.THRUST]
+        thrust_dot_des = csol.states[0, C.THRUST_DOT]
+        final_state = csol.states[-1]
+        warm_x, warm_y = csol.u, csol.y
+    else:
+        g, A, lb, ub, carry, _ = _assemble(
+            cfg, sched, joint_sel, problem, carry, snap, est_thrust_dot)
+        data = admm.prepare(problem.H, g, A, lb, ub, settings,
+                            scaling=problem.scaling)
+        sol = admm.solve_prepared(data, settings, x0=carry.warm_x,
+                                  y0=carry.warm_y)
+        status, pri_res, dua_res = sol.status, sol.pri_res, sol.dua_res
+        ns = cfg.n_states
+        # extraction (variableSamplingMPC.cpp:88-112)
+        delta_joints = sol.x[cfg.joints_offset:cfg.joints_offset + nj]
+        throttle_v = sol.x[cfg.throttle_offset:cfg.throttle_offset + nt]
+        thrust_des = sol.x[ns + C.THRUST0: ns + C.THRUST0 + 4]
+        thrust_dot_des = sol.x[ns + C.THRUST_DOT0: ns + C.THRUST_DOT0 + 4]
+        final_state = sol.x[ns * cfg.n_iter: ns * (cfg.n_iter + 1)]
+        warm_x, warm_y = sol.x, sol.y
+
+    solved = status == admm.SOLVED
     joints_new = carry.joints_pos_ref.at[sel].add(delta_joints)
     throttle_new = jm.destandardize_throttle(throttle_v)
 
@@ -296,7 +348,7 @@ def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
         throttle_cmd=pick(throttle_new, carry.throttle_cmd),
         thrust_des=pick(thrust_des, carry.thrust_des),
         thrust_dot_des=pick(thrust_dot_des, carry.thrust_dot_des),
-        warm_x=sol.x, warm_y=sol.y,
+        warm_x=warm_x, warm_y=warm_y,
     )
 
     out = MPCOutput(
@@ -305,7 +357,7 @@ def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
         thrust_des=carry.thrust_des,
         thrust_dot_des=carry.thrust_dot_des,
         final_state=final_state,
-        status=sol.status, pri_res=sol.pri_res, dua_res=sol.dua_res,
+        status=status, pri_res=pri_res, dua_res=dua_res,
         alpha_gravity=carry.alpha_gravity,
         pos_com_ref=carry.pos_com_ref_now,
         rpy_ref=carry.rpy_ref_now,

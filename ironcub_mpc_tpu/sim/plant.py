@@ -47,6 +47,9 @@ class PlantState(NamedTuple):
     q_des: jnp.ndarray       # [n] PD position targets
     thrust_cmd: jnp.ndarray  # [4] direct thrust command (when NN model off)
     rng: jnp.ndarray         # PRNG key for sensor noise
+    # scenario perturbations (robustness sweeps; zero/one = nominal)
+    wind_force: jnp.ndarray   # [3] world-frame gust force applied at the base
+    thrust_scale: jnp.ndarray  # [4] multiplicative thrust-model error
 
 
 @dataclasses.dataclass(frozen=True)
@@ -94,7 +97,8 @@ class Plant:
             base_v=jnp.zeros(6, dt_), q=jnp.asarray(q, dt_),
             qd=jnp.zeros(n, dt_), thrust_nn=t0, ekf=self.ekf.init(t0),
             throttle=jnp.zeros(4, dt_), q_des=jnp.asarray(q, dt_),
-            thrust_cmd=t0, rng=jax.random.PRNGKey(seed))
+            thrust_cmd=t0, rng=jax.random.PRNGKey(seed),
+            wind_force=jnp.zeros(3, dt_), thrust_scale=jnp.ones(4, dt_))
 
     # ------------------------------------------------------------------
     # actuation setters (the MujocoSim set_* API)
@@ -151,13 +155,19 @@ class Plant:
         tau = tau.at[6:].set(pd)
 
         # jet thrust: pure force f = a_i T_i at the jet frame origin
+        # (thrust_scale models per-scenario turbine mismatch)
         for i, fr in enumerate(self._jet_frames):
             R_f = ls.R[fr.link] @ jnp.asarray(fr.R, kd.dtype)
             p_f = ls.p[fr.link] + ls.R[fr.link] @ jnp.asarray(fr.p, kd.dtype)
             axis = R_f @ jnp.asarray([0.0, 0.0, -1.0], kd.dtype)
-            f = axis * thrust[i]
+            f = axis * (thrust[i] * s.thrust_scale[i])
             F_O = jnp.concatenate([f, jnp.cross(p_f, f)])
             tau = tau + J[fr.link].T @ F_O
+
+        # wind gust: world-frame force at the base origin
+        F_wind = jnp.concatenate([s.wind_force,
+                                  jnp.cross(s.base_p, s.wind_force)])
+        tau = tau + J[0].T @ F_wind
 
         # ground contact at sole corners
         for fr in self._sole_frames:

@@ -1,0 +1,81 @@
+"""Condensed-vs-full-space equivalence: state elimination is exact, so the
+two solvers must produce the same command sequence over a multi-rate run."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ironcub_mpc_tpu.core.config import MPCConfig, RobotConfig, joint_selector
+from ironcub_mpc_tpu.horizon import build_schedule
+from ironcub_mpc_tpu.ops import admm
+from ironcub_mpc_tpu.qp import mpc as mpc_mod
+
+from helpers import make_hover_snapshot, make_test_trajectories
+
+SETTINGS = admm.ADMMSettings(max_iter=200)
+
+
+def _run(cfg, n_ticks=25, rng_seed=11):
+    sched = build_schedule(cfg)
+    sel = joint_selector(RobotConfig(), cfg)
+    snap = make_hover_snapshot(rng_seed=rng_seed)
+    channels, alpha = make_test_trajectories()
+    problem, carry = mpc_mod.configure(cfg, sched, sel, snap, channels, alpha,
+                                       SETTINGS)
+    outs = []
+    est = jnp.zeros(4)
+    for _ in range(n_ticks):
+        carry, out = mpc_mod.mpc_tick(cfg, sched, sel, SETTINGS, problem,
+                                      carry, snap, est)
+        outs.append(out)
+    return outs
+
+
+@pytest.fixture(scope="module")
+def both_runs():
+    full = _run(dataclasses.replace(MPCConfig(), qp_solver="full"))
+    cond = _run(dataclasses.replace(MPCConfig(), qp_solver="condensed"))
+    return full, cond
+
+
+def test_all_ticks_solve(both_runs):
+    full, cond = both_runs
+    for o in full + cond:
+        assert int(o.status) in (admm.SOLVED, admm.SOLVED_INACCURATE)
+
+
+def test_command_sequences_match(both_runs):
+    """Thrust + joint command fidelity between the two formulations — the
+    BASELINE command-fidelity criterion applied internally."""
+    full, cond = both_runs
+    for k, (a, b) in enumerate(zip(full, cond)):
+        np.testing.assert_allclose(
+            np.asarray(a.joints_pos_ref), np.asarray(b.joints_pos_ref),
+            atol=2e-3, err_msg=f"joint refs diverge at tick {k}")
+        np.testing.assert_allclose(
+            np.asarray(a.thrust_des), np.asarray(b.thrust_des),
+            atol=0.5, err_msg=f"thrust diverges at tick {k}")
+        np.testing.assert_allclose(
+            np.asarray(a.throttle), np.asarray(b.throttle),
+            atol=0.5, err_msg=f"throttle diverges at tick {k}")
+
+
+def test_final_state_matches(both_runs):
+    full, cond = both_runs
+    a = np.asarray(full[-1].final_state)
+    b = np.asarray(cond[-1].final_state)
+    np.testing.assert_allclose(a, b, atol=0.05, rtol=0.05)
+
+
+def test_condensed_multi_rate_hold():
+    cond = _run(dataclasses.replace(MPCConfig(), qp_solver="condensed"),
+                n_ticks=22)
+    throttles = np.stack([np.asarray(o.throttle) for o in cond])
+    first = throttles[0]
+    for k in range(19):
+        np.testing.assert_allclose(throttles[k], first, atol=0.5)
+    assert np.any(np.abs(throttles[19] - first) > 0.5)
+    np.testing.assert_allclose(throttles[20], throttles[19], atol=0.5)

@@ -37,8 +37,9 @@ def configured():
 def test_configure_shapes_and_counters(configured):
     snap, problem, carry = configured
     assert problem.H.shape == (588, 588)
-    assert carry.warm_x.shape == (588,)
-    assert carry.warm_y.shape == (512,)
+    # default solver is condensed: warm start lives in input space
+    assert carry.warm_x.shape == (120,)
+    assert carry.warm_y.shape == (24,)
     # configure leaves both modulo counters at 0 (first compute consumed the
     # saturated initial value)
     assert int(carry.ref_counter) == 0
