@@ -23,3 +23,13 @@ Humanoid Robot", Humanoids 2025):
 """
 
 __version__ = "0.1.0"
+
+# This is a control framework, not a neural net: mass matrices with 1e4
+# condition numbers, KKT systems and Jacobian chains cannot tolerate TPU's
+# default bf16-grade f32 matmul passes (observed failure: the plant's
+# M + dt·D solve goes indefinite mid-flight and the state explodes within
+# one substep). Full-precision f32 matmuls everywhere by default; kernels
+# that can tolerate less opt down explicitly.
+import jax as _jax
+
+_jax.config.update("jax_default_matmul_precision", "highest")

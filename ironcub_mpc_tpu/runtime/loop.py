@@ -50,6 +50,7 @@ class TickTelemetry(NamedTuple):
     base_lin_vel_filtered: jnp.ndarray
     base_ang_vel_filtered: jnp.ndarray
     joints_pos_meas: jnp.ndarray
+    joints_vel_meas: jnp.ndarray
     joints_pos_ref: jnp.ndarray
     linear_momentum: jnp.ndarray
     angular_momentum: jnp.ndarray
@@ -61,6 +62,8 @@ class TickTelemetry(NamedTuple):
     alpha_gravity: jnp.ndarray
     throttle: jnp.ndarray
     solver_status: jnp.ndarray
+    pri_res: jnp.ndarray
+    dua_res: jnp.ndarray
 
 
 class ClosedLoop:
@@ -141,7 +144,8 @@ class ClosedLoop:
             base_orientation=matrix_to_rpy(s.base_R),
             base_lin_vel=lin, base_ang_vel=ang,
             base_lin_vel_filtered=lp_lin, base_ang_vel_filtered=lp_ang,
-            joints_pos_meas=s.q, joints_pos_ref=out.joints_pos_ref,
+            joints_pos_meas=s.q, joints_vel_meas=s.qd,
+            joints_pos_ref=out.joints_pos_ref,
             linear_momentum=snap.momentum_body[:3],
             angular_momentum=snap.momentum_body[3:],
             momentum_reference=out.mom_ref,
@@ -152,6 +156,8 @@ class ClosedLoop:
             alpha_gravity=out.alpha_gravity,
             throttle=out.throttle,
             solver_status=out.status,
+            pri_res=out.pri_res,
+            dua_res=out.dua_res,
         )
 
         s = self.plant.step(s, self.n_substeps)
