@@ -58,6 +58,13 @@ class MPCConfig:
     # throttle bounds [%]
     throttle_min: float = 0.0                  # throttleMin
     throttle_max: float = 100.0                # throttleMax
+    # joint position limits [deg] on the controlled joints. The reference
+    # compiles a JointPositionConstraint block (constraintsVSMPC.cpp:388-468)
+    # but never registers it (variableSamplingMPC.cpp:77-84); here it is a
+    # config-gated, fully wired constraint (off by default for parity).
+    use_joint_position_constraint: bool = False
+    joint_pos_min_deg: Tuple[float, ...] = (-90.0,) * 8   # jointPos_min
+    joint_pos_max_deg: Tuple[float, ...] = (90.0,) * 8    # jointPos_max
     # QP solve strategy (TPU-build extension; not in the reference config):
     # "condensed" — exact state elimination to a 120-var box QP (fast path);
     # "full"      — sparse-form 588x512 QP like the reference's OSQP setup.
@@ -100,9 +107,19 @@ class MPCConfig:
         return self.n_jets * (self.n_iter - self.n_iter_small + 1)
 
     @property
+    def n_joint_position_constraints(self) -> int:
+        # declared rows: nJoints * nIter, of which only the first
+        # controlHorizon knots are filled — same declared-vs-filled sizing
+        # quirk as the throttle rows (constraintsVSMPC.cpp:393 vs :435)
+        if not self.use_joint_position_constraint:
+            return 0
+        return self.n_ctrl_joints * self.n_iter
+
+    @property
     def n_constraints(self) -> int:
         return (self.n_dynamics_constraints + self.n_states
-                + self.n_throttle_constraints)
+                + self.n_throttle_constraints
+                + self.n_joint_position_constraints)
 
     @property
     def joints_offset(self) -> int:
@@ -296,6 +313,13 @@ def mpc_config_from_xml(path: str | Path, group: str = "VS_MPC_CONFIG") -> MPCCo
             p.get("weightRegularizationJointPos", d.weight_regularization_joint_pos)),
         throttle_min=float(p.get("throttleMin", d.throttle_min)),
         throttle_max=float(p.get("throttleMax", d.throttle_max)),
+        use_joint_position_constraint=bool(
+            p.get("useJointPositionConstraint",
+                  "jointPos_min" in p and "jointPos_max" in p)),
+        joint_pos_min_deg=tuple(map(float, p.get("jointPos_min",
+                                                 d.joint_pos_min_deg))),
+        joint_pos_max_deg=tuple(map(float, p.get("jointPos_max",
+                                                 d.joint_pos_max_deg))),
         alpha_gravity_trajectory=traj("TRAJECTORY_MANAGER", d.alpha_gravity_trajectory),
         position_trajectory=traj("POSITION_TRAJECTORY", d.position_trajectory),
     )

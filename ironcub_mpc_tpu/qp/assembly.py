@@ -198,15 +198,49 @@ def build_throttle_rows(cfg: MPCConfig, pin_first_knot, throttle_cmd, dtype):
     return A, lb, ub
 
 
+def build_joint_position_rows(cfg: MPCConfig, joint_pos_ctrl, dtype):
+    """Joint-position box rows [nJoints·nIter, n_var] + bounds.
+
+    Per-knot identity on the joint-delta inputs bounded by the remaining
+    range to the configured deg limits, measured from the current integrated
+    joint position reference (constraintsVSMPC.cpp:434-456 — the reference
+    declares nJoints·nIter rows but fills only controlHorizon knots; the
+    surplus rows stay 0 ≤ 0 ≤ 0).
+    """
+    nj = cfg.n_ctrl_joints
+    nrows = cfg.n_joint_position_constraints
+    A = jnp.zeros((nrows, cfg.n_var), dtype)
+    lb = jnp.zeros((nrows,), dtype)
+    ub = jnp.zeros((nrows,), dtype)
+    q_min = jnp.asarray(np.deg2rad(cfg.joint_pos_min_deg), dtype)
+    q_max = jnp.asarray(np.deg2rad(cfg.joint_pos_max_deg), dtype)
+    for i in range(cfg.control_horizon):
+        r = i * nj
+        col = cfg.joints_offset + i * nj
+        A = A.at[r:r + nj, col:col + nj].set(jnp.eye(nj, dtype=dtype))
+        lb = lb.at[r:r + nj].set(q_min - joint_pos_ctrl)
+        ub = ub.at[r:r + nj].set(q_max - joint_pos_ctrl)
+    return A, lb, ub
+
+
 def assemble_constraints(cfg: MPCConfig, sched: HorizonSchedule,
                          lin: LinearizedDynamics, x0, pin_first_knot,
-                         throttle_cmd):
+                         throttle_cmd, joint_pos_ctrl=None):
     """Full [512, 588] constraint stack + bounds, reference row order."""
     A_dyn, l_dyn, u_dyn = build_dynamics_rows(cfg, sched, lin)
     A_init, l_init, u_init = build_initial_state_rows(cfg, x0)
     A_thr, l_thr, u_thr = build_throttle_rows(
         cfg, pin_first_knot, throttle_cmd, x0.dtype)
-    A = jnp.concatenate([A_dyn, A_init, A_thr], axis=0)
-    lb = jnp.concatenate([l_dyn, l_init, l_thr])
-    ub = jnp.concatenate([u_dyn, u_init, u_thr])
+    As = [A_dyn, A_init, A_thr]
+    ls = [l_dyn, l_init, l_thr]
+    us = [u_dyn, u_init, u_thr]
+    if cfg.use_joint_position_constraint:
+        A_j, l_j, u_j = build_joint_position_rows(
+            cfg, joint_pos_ctrl, x0.dtype)
+        As.append(A_j)
+        ls.append(l_j)
+        us.append(u_j)
+    A = jnp.concatenate(As, axis=0)
+    lb = jnp.concatenate(ls)
+    ub = jnp.concatenate(us)
     return A, lb, ub

@@ -60,6 +60,16 @@ def n_inputs(cfg: MPCConfig) -> int:
             + cfg.n_jets * cfg.n_throttle_knots)
 
 
+def n_box(cfg: MPCConfig) -> int:
+    """Number of box-constrained inputs: the throttle tail, plus every
+    joint-delta knot when the joint-position constraint is enabled (the box
+    then covers all of u and the selector offset is 0)."""
+    nb = cfg.n_jets * cfg.n_throttle_knots
+    if cfg.use_joint_position_constraint:
+        nb += cfg.n_ctrl_joints * cfg.control_horizon
+    return nb
+
+
 def build_hu(cfg: MPCConfig) -> np.ndarray:
     """Constant input-space Hessian: joint-delta + joint-position
     regularisation per control knot, throttle-rate tridiagonal, initial
@@ -85,7 +95,8 @@ def build_hu(cfg: MPCConfig) -> np.ndarray:
 
 def condense(cfg: MPCConfig, sched: HorizonSchedule, lin: LinearizedDynamics,
              x0, state_reference, q_diag, H_u, joint_reg_grad,
-             throttle_init_grad, pin_first_knot, throttle_cmd) -> CondensedQP:
+             throttle_init_grad, pin_first_knot, throttle_cmd,
+             joint_pos_ctrl=None) -> CondensedQP:
     """Propagate the discrete dynamics and fold the tracking cost into u.
 
     x_{k+1} = (I + Δt_k Ac) x_k + Δt_k (BJ Δq_{jk(k)} + BT v_{tk(k)} + c)
@@ -124,13 +135,24 @@ def condense(cfg: MPCConfig, sched: HorizonSchedule, lin: LinearizedDynamics,
     v_min = jm.throttle_to_v(jnp.asarray(cfg.throttle_min, dt_))
     v_max = jm.throttle_to_v(jnp.asarray(cfg.throttle_max, dt_))
     v_applied = jm.throttle_to_v(throttle_cmd)
-    n_box = nt * cfg.n_throttle_knots
-    lb = jnp.full((n_box,), v_min, dt_)
-    ub = jnp.full((n_box,), v_max, dt_)
-    lo0 = jnp.where(pin_first_knot, v_applied, lb[:nt])
-    hi0 = jnp.where(pin_first_knot, v_applied, ub[:nt])
-    lb = lb.at[:nt].set(lo0)
-    ub = ub.at[:nt].set(hi0)
+    nbt = nt * cfg.n_throttle_knots
+    lb_t = jnp.full((nbt,), v_min, dt_)
+    ub_t = jnp.full((nbt,), v_max, dt_)
+    lo0 = jnp.where(pin_first_knot, v_applied, lb_t[:nt])
+    hi0 = jnp.where(pin_first_knot, v_applied, ub_t[:nt])
+    lb_t = lb_t.at[:nt].set(lo0)
+    ub_t = ub_t.at[:nt].set(hi0)
+    if cfg.use_joint_position_constraint:
+        # joint-delta box per knot: remaining range to the deg limits from
+        # the current integrated position (constraintsVSMPC.cpp:434-456)
+        q_min = jnp.asarray(np.deg2rad(cfg.joint_pos_min_deg), dt_)
+        q_max = jnp.asarray(np.deg2rad(cfg.joint_pos_max_deg), dt_)
+        lb_j = jnp.tile(q_min - joint_pos_ctrl, ch)
+        ub_j = jnp.tile(q_max - joint_pos_ctrl, ch)
+        lb = jnp.concatenate([lb_j, lb_t])
+        ub = jnp.concatenate([ub_j, ub_t])
+    else:
+        lb, ub = lb_t, ub_t
     return CondensedQP(H=H, q=q, lb=lb, ub=ub, F=F_all, f=f_all)
 
 

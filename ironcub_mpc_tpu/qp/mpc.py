@@ -207,7 +207,7 @@ def configure(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...]
             condensed.n_inputs(cfg) if cfg.qp_solver == "condensed"
             else cfg.n_var, dtype),
         warm_y=jnp.zeros(
-            cfg.n_jets * cfg.n_throttle_knots if cfg.qp_solver == "condensed"
+            condensed.n_box(cfg) if cfg.qp_solver == "condensed"
             else cfg.n_constraints, dtype),
     )
 
@@ -281,7 +281,8 @@ def _assemble(cfg, sched, joint_sel, problem: MPCProblem, carry: MPCCarry,
         cfg, problem.Q, prep.state_ref, carry.joints_pos_ref[sel],
         problem.joint_pos_ref_ctrl, carry.throttle_cmd)
     A, lb, ub = assembly.assemble_constraints(
-        cfg, sched, prep.lin, prep.x0, prep.pin, carry.throttle_cmd)
+        cfg, sched, prep.lin, prep.x0, prep.pin, carry.throttle_cmd,
+        joint_pos_ctrl=carry.joints_pos_ref[sel])
     return g, A, lb, ub, carry, prep.lin
 
 
@@ -310,7 +311,7 @@ def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
         qp = condensed.condense(
             cfg, sched, prep.lin, prep.x0, prep.state_ref, q_diag,
             problem.H_u, joint_reg_grad, throttle_init_grad, prep.pin,
-            carry.throttle_cmd)
+            carry.throttle_cmd, joint_pos_ctrl=carry.joints_pos_ref[sel])
         csol = condensed.solve(cfg, qp, settings, warm_u=carry.warm_x,
                                warm_y=carry.warm_y)
         status, pri_res, dua_res = csol.status, csol.pri_res, csol.dua_res
