@@ -74,6 +74,12 @@ class MPCCarry(NamedTuple):
     # ADMM warm start (unscaled)
     warm_x: jax.Array             # [n_var]
     warm_y: jax.Array             # [n_constraints]
+    # carried condensed-solver factorisation state (scaled space; None when
+    # kinv_carry is off or the full-space solver is selected). Replaces the
+    # per-tick batched Cholesky with a Woodbury+Newton-Schulz refresh.
+    kinv: jax.Array = None        # [nU, nU]
+    rho_vec: jax.Array = None     # [n_box]
+    rho_scalar: jax.Array = None  # []
 
 
 class MPCOutput(NamedTuple):

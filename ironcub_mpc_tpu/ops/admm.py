@@ -66,6 +66,10 @@ class ADMMSettings:
     polish_refine_iters: int = 3
     eq_tol: float = 1e-9            # l==u detection tolerance
     inf_bound: float = 1e20         # OSQP_INFTY analogue
+    # condensed fast path: carry (K(ρ))⁻¹ across 200 Hz ticks and refresh it
+    # with Woodbury + Newton–Schulz instead of re-factorising (the batched
+    # Cholesky is the single most expensive kernel of the tick on TPU).
+    kinv_carry: bool = True
 
 
 class Scaling(NamedTuple):

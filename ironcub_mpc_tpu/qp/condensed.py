@@ -53,11 +53,79 @@ class CondensedSolution(NamedTuple):
     status: jnp.ndarray
     pri_res: jnp.ndarray
     dua_res: jnp.ndarray
+    # cross-tick solver state (scaled space; carried when kinv_carry is on)
+    kinv: jnp.ndarray = None         # [nU, nU] (K(ρ))⁻¹ pre-polish
+    rho_vec: jnp.ndarray = None      # [n_box]
+    rho_scalar: jnp.ndarray = None   # []
+
+
+class CondensedScaling(NamedTuple):
+    """Frozen setup-time equilibration for the condensed QP (OSQP scales at
+    setup only; per-tick re-scaling would shift the basis the carried K⁻¹
+    lives in)."""
+
+    D: jnp.ndarray        # [nU] symmetric diagonal scaling of H
+    c: jnp.ndarray        # [] cost scaling
+
+
+def equilibrate(H, q, box0, iters, dt_):
+    """Modified-Ruiz equilibration of the condensed KKT (see solve())."""
+    nU = H.shape[0]
+    D = jnp.ones((nU,), dt_)
+    c_s = jnp.asarray(1.0, dt_)
+    for _ in range(iters):
+        d = admm._safe_inv_sqrt(jnp.max(jnp.abs(H), axis=0))
+        # selector columns also carry a 1 in the stacked KKT matrix
+        d = d.at[box0:].set(
+            admm._safe_inv_sqrt(jnp.maximum(
+                jnp.max(jnp.abs(H[:, box0:]), axis=0), 1.0)))
+        H = d[:, None] * H * d[None, :]
+        q = d * q
+        D = D * d
+        g = 1.0 / jnp.clip(jnp.maximum(jnp.mean(jnp.max(jnp.abs(H), 0)),
+                                       jnp.max(jnp.abs(q))), 1e-8, 1e8)
+        H, q, c_s = g * H, g * q, c_s * g
+    return H, q, CondensedScaling(D=D, c=c_s)
+
+
+def _gj_inverse(M):
+    """Explicit inverse of a small [n, n] matrix by unrolled Gauss-Jordan.
+
+    Batched LU (`jnp.linalg.solve`) on tiny matrices is sequential-dispatch
+    bound on TPU (~4.7 ms for [512, 24, 24]); an unrolled pivot loop compiles
+    to n fused vector steps (~0.2 ms). No pivoting: the Woodbury capacitance
+    I + ΔρᵢⱼKᵢⱼ is generically well-pivoted after equilibration, and the
+    Newton–Schulz polish downstream squares away any pivot noise.
+    """
+    n = M.shape[-1]
+    A = jnp.concatenate([M, jnp.eye(n, dtype=M.dtype)], axis=-1)
+    for i in range(n):
+        piv = A[i, i]
+        piv = jnp.where(jnp.abs(piv) < 1e-12,
+                        jnp.where(piv < 0, -1e-12, 1e-12), piv)
+        row = A[i] / piv
+        A = A - A[:, i:i + 1] * row[None, :]
+        A = A.at[i].set(row)
+    return A[:, n:]
 
 
 def n_inputs(cfg: MPCConfig) -> int:
     return (cfg.n_ctrl_joints * cfg.control_horizon
             + cfg.n_jets * cfg.n_throttle_knots)
+
+
+def weighted_state_indices(cfg: MPCConfig):
+    """Static indices of states with a nonzero tracking weight (trace-time
+    constant from the config; the per-knot Q is diagonal,
+    costsVSMPC.cpp:74-93)."""
+    diag = np.zeros(cfg.n_states)
+    diag[C.COM_POS] = cfg.weight_com_pos
+    diag[C.LIN_MOM] = cfg.weight_lin_mom
+    diag[C.RPY] = cfg.weight_rpy
+    diag[C.ANG_MOM] = cfg.weight_ang_mom
+    diag[C.POS_ERR] = cfg.weight_com_pos_error
+    diag[C.RPY_ERR] = cfg.weight_rpy_error
+    return tuple(int(i) for i in np.nonzero(diag)[0])
 
 
 def n_box(cfg: MPCConfig) -> int:
@@ -127,8 +195,20 @@ def condense(cfg: MPCConfig, sched: HorizonSchedule, lin: LinearizedDynamics,
         F_all = jnp.stack(Fs)                      # [nIter, 26, nU]
         f_all = jnp.stack(fs)                      # [nIter, 26]
         r = state_reference.T                      # [nIter, 26]
-        H = jnp.einsum("kan,a,kam->nm", F_all, q_diag, F_all) + H_u
-        q = jnp.einsum("kan,a,ka->n", F_all, q_diag, f_all - r)
+        # contract only over weighted states (thrust/thrustDot rows carry no
+        # tracking cost — 18 of 26 rows for the stock weights): static
+        # gather, ~30% off the dominant H_c MXU contraction
+        w_idx = weighted_state_indices(cfg)
+        if len(w_idx) < ns:
+            sel_w = jnp.asarray(w_idx)
+            Fw = F_all[:, sel_w, :]
+            qw = q_diag[sel_w]
+            H = jnp.einsum("kan,a,kam->nm", Fw, qw, Fw) + H_u
+            q = jnp.einsum("kan,a,ka->n", Fw, qw,
+                           (f_all - r)[:, sel_w])
+        else:
+            H = jnp.einsum("kan,a,kam->nm", F_all, q_diag, F_all) + H_u
+            q = jnp.einsum("kan,a,ka->n", F_all, q_diag, f_all - r)
         q = q.at[:nj * ch].add(jnp.tile(joint_reg_grad, ch))
         q = q.at[nj * ch:nj * ch + nt].add(throttle_init_grad)
 
@@ -156,10 +236,50 @@ def condense(cfg: MPCConfig, sched: HorizonSchedule, lin: LinearizedDynamics,
     return CondensedQP(H=H, q=q, lb=lb, ub=ub, F=F_all, f=f_all)
 
 
+def setup(cfg: MPCConfig, qp: CondensedQP, settings: admm.ADMMSettings):
+    """One-time solver setup from the configure-time QP: frozen equilibration
+    plus the only exact factorisation of the run (OSQP's setup phase,
+    IMPCProblem.cpp:140-145,221-236). Returns ``(scaling, kinv0, rho_vec0,
+    rho_scalar0)`` to seed the cross-tick carry."""
+    nU = qp.H.shape[0]
+    n_box = qp.lb.shape[0]
+    box0 = nU - n_box
+    dt_ = qp.H.dtype
+    with jax.default_matmul_precision("highest"):
+        H, q, scaling = equilibrate(qp.H, qp.q, box0,
+                                    settings.scaling_iters, dt_)
+        E = 1.0 / scaling.D[box0:]
+        lb, ub = E * qp.lb, E * qp.ub
+        eq = (ub - lb) < settings.eq_tol
+        rho_scalar = jnp.asarray(settings.rho, dt_)
+        rho_vec = jnp.where(eq, rho_scalar * settings.rho_eq_scale,
+                            rho_scalar)
+        K = H + settings.sigma * jnp.eye(nU, dtype=dt_)
+        K = K.at[jnp.arange(box0, nU), jnp.arange(box0, nU)].add(rho_vec)
+        chol = jnp.linalg.cholesky(K)
+        kinv = jax.lax.linalg.triangular_solve(
+            chol,
+            jax.lax.linalg.triangular_solve(
+                chol, jnp.eye(nU, dtype=dt_), left_side=True, lower=True),
+            left_side=True, lower=True, transpose_a=True)
+    return scaling, kinv, rho_vec, rho_scalar
+
+
 def solve(cfg: MPCConfig, qp: CondensedQP,
-          settings: admm.ADMMSettings, warm_u=None,
-          warm_y=None) -> CondensedSolution:
-    """Box-constrained ADMM with selector structure + Schur polish."""
+          settings: admm.ADMMSettings, warm_u=None, warm_y=None,
+          scaling: CondensedScaling = None, kinv_prev=None, rho_prev=None,
+          rho_scalar_prev=None) -> CondensedSolution:
+    """Box-constrained ADMM with selector structure + Schur polish.
+
+    With ``kinv_prev``/``rho_prev`` (and a frozen ``scaling``), the one
+    expensive batched Cholesky disappears from the tick entirely: the carried
+    (K(ρ))⁻¹ from the previous 5 ms tick is refreshed against the current H
+    by a rank-n_box Woodbury + Newton–Schulz pass — the 200 Hz relinearisation
+    drift is tiny, so two NS steps recover factorisation-grade accuracy
+    (quadratic convergence). This is the cross-tick extension of the
+    reference's constant-Hessian/one-setup OSQP exploitation
+    (IMPCProblem.cpp:152-175).
+    """
     nU = qp.H.shape[0]
     n_box = qp.lb.shape[0]
     box0 = nU - n_box                       # throttle tail offset
@@ -168,27 +288,21 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
     with jax.default_matmul_precision("highest"):
         # --- Ruiz equilibration on [[H, Sᵀ],[S, 0]]; S is a selector, so its
         # row/col norms are 1 after the first pass — equilibrate H + cost.
-        D = jnp.ones((nU,), dt_)
-        c_s = jnp.asarray(1.0, dt_)
-        H, q = qp.H, qp.q
-        for _ in range(settings.scaling_iters):
-            d = admm._safe_inv_sqrt(jnp.max(jnp.abs(H), axis=0))
-            # selector columns also carry a 1 in the stacked KKT matrix
-            d = d.at[box0:].set(
-                admm._safe_inv_sqrt(jnp.maximum(
-                    jnp.max(jnp.abs(H[:, box0:]), axis=0), 1.0)))
-            H = d[:, None] * H * d[None, :]
-            q = d * q
-            D = D * d
-            g = 1.0 / jnp.clip(jnp.maximum(jnp.mean(jnp.max(jnp.abs(H), 0)),
-                                           jnp.max(jnp.abs(q))), 1e-8, 1e8)
-            H, q, c_s = g * H, g * q, c_s * g
+        # Frozen setup-time scaling when provided (OSQP semantics).
+        if scaling is None:
+            H, q, scaling = equilibrate(qp.H, qp.q, box0,
+                                        settings.scaling_iters, dt_)
+        else:
+            H = scaling.c * (scaling.D[:, None] * qp.H * scaling.D[None, :])
+            q = scaling.c * (scaling.D * qp.q)
+        D, c_s = scaling.D, scaling.c
         E = 1.0 / D[box0:]                 # row scaling of S D = diag(D_box)
         lb, ub = E * qp.lb, E * qp.ub
 
         eq = (ub - lb) < settings.eq_tol
-        rho0 = jnp.where(eq, settings.rho * settings.rho_eq_scale,
-                         settings.rho)
+        rho_scalar0 = (jnp.asarray(settings.rho, dt_)
+                       if rho_scalar_prev is None else rho_scalar_prev)
+        rho0 = jnp.where(eq, rho_scalar0 * settings.rho_eq_scale, rho_scalar0)
 
         def factor(rho_vec):
             K = H + settings.sigma * jnp.eye(nU, dtype=dt_)
@@ -218,7 +332,11 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             """
             d = rho_new - rho_old
             M = jnp.eye(n_box, dtype=dt_) + d[:, None] * Kinv[box0:, box0:]
-            X = jnp.linalg.solve(M, d[:, None] * Kinv[box0:, :])
+            B = d[:, None] * Kinv[box0:, :]
+            if n_box <= 32:
+                X = _gj_inverse(M) @ B
+            else:
+                X = jnp.linalg.solve(M, B)
             Knew = Kinv - Kinv[:, box0:] @ X
             K = H + settings.sigma * jnp.eye(nU, dtype=dt_)
             K = K.at[jnp.arange(box0, nU), jnp.arange(box0, nU)].add(rho_new)
@@ -258,9 +376,16 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
 
         marks = [i for i in settings.rho_update_iters if i < settings.max_iter]
         bounds = [0] + marks + [settings.max_iter]
-        rho_scalar = jnp.asarray(settings.rho, dt_)
+        rho_scalar = rho_scalar0
         rho_vec = rho0
-        Kinv = factor(rho_vec)
+        if kinv_prev is None:
+            Kinv = factor(rho_vec)
+        else:
+            # refresh the carried inverse: exact rank-n_box correction for
+            # the ρ pattern change (pin toggle / carried adaptive ρ) and NS
+            # polish against K built from the *current* H — one pass absorbs
+            # both the ρ jump and the 5 ms relinearisation drift.
+            Kinv = woodbury(kinv_prev, rho_prev, rho_vec)
         for si in range(len(bounds) - 1):
             x, z, y = run_segment(Kinv, rho_vec, x, z, y,
                                   bounds[si + 1] - bounds[si])
@@ -279,6 +404,8 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
                 rho_new = jnp.where(upd, rho_new, rho_vec)
                 Kinv = woodbury(Kinv, rho_vec, rho_new)
                 rho_vec = rho_new
+
+        kinv_out, rho_out, rho_scalar_out = Kinv, rho_vec, rho_scalar
 
         # --- Schur polish on the active box set ---------------------------
         if settings.polish:
@@ -334,4 +461,5 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
         states = jnp.einsum("kan,n->ka", qp.F, u) + qp.f
     return CondensedSolution(
         u=u, y=y * E / c_s, states=states, status=status.astype(jnp.int32),
-        pri_res=pri, dua_res=dua)
+        pri_res=pri, dua_res=dua, kinv=kinv_out, rho_vec=rho_out,
+        rho_scalar=rho_scalar_out)

@@ -50,6 +50,8 @@ class MPCProblem(NamedTuple):
     traj_rpydot: jnp.ndarray         # [T, 3] RPYDot
     alpha_traj: jnp.ndarray          # [Ta] alphaGravity upsampled to MPC fps
     scaling: admm.Scaling            # fixed equilibration (OSQP setup-time)
+    # frozen condensed-space equilibration (None for the full-space solver)
+    cond_scaling: condensed.CondensedScaling = None
 
 
 # ---------------------------------------------------------------------------
@@ -213,12 +215,32 @@ def configure(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...]
 
     # --- replicate the configure-time first compute --------------------------
     # (shifts the window once, advances alphaGravity once, computes the
-    # equilibration from the first assembled QP)
-    g, A, lb, ub, carry, _ = _assemble(cfg, sched, joint_sel, problem, carry,
-                                       snap0, est_thrust_dot)
-    P, q, Asc, lsc, usc, scaling = admm.ruiz_equilibration(
-        problem.H, g, A, lb, ub, settings.scaling_iters)
-    problem = problem._replace(scaling=scaling)
+    # equilibration from the first assembled QP — OSQP scales at setup only)
+    if cfg.qp_solver == "condensed":
+        carry, prep = _tick_prep(cfg, joint_sel, problem, carry, snap0,
+                                 est_thrust_dot)
+        sel = jnp.asarray(joint_sel)
+        q_diag = jnp.diagonal(problem.Q)
+        joint_reg_grad = cfg.weight_regularization_joint_pos * (
+            carry.joints_pos_ref[sel] - problem.joint_pos_ref_ctrl)
+        throttle_init_grad = (-cfg.weight_initial_throttle
+                              * jm.throttle_to_v(carry.throttle_cmd))
+        qp0 = condensed.condense(
+            cfg, sched, prep.lin, prep.x0, prep.state_ref, q_diag,
+            problem.H_u, joint_reg_grad, throttle_init_grad, prep.pin,
+            carry.throttle_cmd, joint_pos_ctrl=carry.joints_pos_ref[sel])
+        cond_scaling, kinv0, rho_vec0, rho_scalar0 = condensed.setup(
+            cfg, qp0, settings)
+        problem = problem._replace(cond_scaling=cond_scaling)
+        if settings.kinv_carry:
+            carry = carry._replace(kinv=kinv0, rho_vec=rho_vec0,
+                                   rho_scalar=rho_scalar0)
+    else:
+        g, A, lb, ub, carry, _ = _assemble(cfg, sched, joint_sel, problem,
+                                           carry, snap0, est_thrust_dot)
+        P, q, Asc, lsc, usc, scaling = admm.ruiz_equilibration(
+            problem.H, g, A, lb, ub, settings.scaling_iters)
+        problem = problem._replace(scaling=scaling)
     return problem, carry
 
 
@@ -312,8 +334,16 @@ def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
             cfg, sched, prep.lin, prep.x0, prep.state_ref, q_diag,
             problem.H_u, joint_reg_grad, throttle_init_grad, prep.pin,
             carry.throttle_cmd, joint_pos_ctrl=carry.joints_pos_ref[sel])
-        csol = condensed.solve(cfg, qp, settings, warm_u=carry.warm_x,
-                               warm_y=carry.warm_y)
+        csol = condensed.solve(
+            cfg, qp, settings, warm_u=carry.warm_x, warm_y=carry.warm_y,
+            scaling=problem.cond_scaling,
+            kinv_prev=carry.kinv if settings.kinv_carry else None,
+            rho_prev=carry.rho_vec if settings.kinv_carry else None,
+            rho_scalar_prev=(carry.rho_scalar if settings.kinv_carry
+                             else None))
+        if settings.kinv_carry:
+            carry = carry._replace(kinv=csol.kinv, rho_vec=csol.rho_vec,
+                                   rho_scalar=csol.rho_scalar)
         status, pri_res, dua_res = csol.status, csol.pri_res, csol.dua_res
         delta_joints = csol.u[:nj]
         throttle_v = csol.u[nj * cfg.control_horizon:
