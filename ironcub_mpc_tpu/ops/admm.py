@@ -70,6 +70,18 @@ class ADMMSettings:
     # with Woodbury + Newton–Schulz instead of re-factorising (the batched
     # Cholesky is the single most expensive kernel of the tick on TPU).
     kinv_carry: bool = True
+    # fused Pallas kernels for the ADMM segment + Woodbury refresh
+    # (ops/pallas_solve.py): "auto" = on TPU backends, "on" = always
+    # (interpret mode off-TPU; for tests), "off" = pure-JAX path.
+    pallas_mode: str = "auto"
+
+
+def pallas_enabled(settings: "ADMMSettings") -> bool:
+    if settings.pallas_mode == "on":
+        return True
+    if settings.pallas_mode == "off":
+        return False
+    return jax.default_backend() == "tpu"
 
 
 class Scaling(NamedTuple):

@@ -34,6 +34,7 @@ from ..core.config import MPCConfig
 from ..horizon.schedule import HorizonSchedule
 from ..ops import admm
 from ..ops import jet_model as jm
+from ..ops import pallas_solve
 from .blocks import LinearizedDynamics
 
 
@@ -348,6 +349,54 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
         y = jnp.zeros((n_box,), dt_) if warm_y is None else warm_y * c_s / E
         z = jnp.clip(x[box0:], lb, ub)
 
+        # --- fused Pallas path for the hot primitives (ops/pallas_solve) --
+        # The segment kernel keeps K⁻¹ resident in VMEM across iterations
+        # (the lax.scan form re-reads it from HBM every iteration); the
+        # Woodbury kernel fuses the rank-n_box update, the n_box×n_box
+        # Gauss-Jordan inverse and the Newton–Schulz polish.
+        use_pl = admm.pallas_enabled(settings)
+        if use_pl:
+            P = pallas_solve._pad_to(nU)
+
+            def lift(A):                       # [nU, nU] → lane-padded
+                return jnp.pad(A, ((0, P - nU), (0, P - nU)))
+
+            def lower(Ap):
+                return Ap[:nU, :nU]
+
+            def to_full(vb):                   # box layout → full layout
+                return jnp.zeros((nU,), dt_).at[box0:].set(vb)
+
+            def pv(v):                         # [nU] → [1, P]
+                return jnp.pad(v, (0, P - nU))[None, :]
+
+            H_p = lift(H)
+            q_f = pv(q)
+            big = jnp.asarray(settings.inf_bound, dt_)
+            lb_f = pv(jnp.full((nU,), -big, dt_).at[box0:].set(lb))
+            ub_f = pv(jnp.full((nU,), big, dt_).at[box0:].set(ub))
+
+            def woodbury_k(Kinv_p, rho_old, rho_new):
+                d_col = jnp.pad(to_full(rho_new - rho_old),
+                                (0, P - nU))[:, None]
+                r_col = jnp.pad(to_full(rho_new), (0, P - nU))[:, None]
+                return pallas_solve.woodbury_ns(
+                    Kinv_p, H_p, d_col, r_col, box0=box0, n_box=n_box,
+                    sigma=settings.sigma, n_ns=2)
+
+            def run_segment_k(Kinv_p, rho_vec, x, z, y, length):
+                rho_f = pv(to_full(rho_vec))
+                rhoi_f = pv(to_full(1.0 / rho_vec))
+                xf, zf, yf = pallas_solve.admm_segment(
+                    Kinv_p, q_f, lb_f, ub_f, rho_f, rhoi_f,
+                    pv(x), pv(to_full(z)), pv(to_full(y)),
+                    sigma=settings.sigma, alpha=settings.alpha,
+                    length=length)
+                return xf[0, :nU], zf[0, box0:nU], yf[0, box0:nU]
+        else:
+            lift = lower = lambda A: A
+            woodbury_k, run_segment_k = woodbury, run_segment
+
         def run_segment(Kinv, rho_vec, x, z, y, length):
             def body(carry, _):
                 x, z, y = carry
@@ -379,16 +428,16 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
         rho_scalar = rho_scalar0
         rho_vec = rho0
         if kinv_prev is None:
-            Kinv = factor(rho_vec)
+            Kinv = lift(factor(rho_vec))
         else:
             # refresh the carried inverse: exact rank-n_box correction for
             # the ρ pattern change (pin toggle / carried adaptive ρ) and NS
             # polish against K built from the *current* H — one pass absorbs
             # both the ρ jump and the 5 ms relinearisation drift.
-            Kinv = woodbury(kinv_prev, rho_prev, rho_vec)
+            Kinv = woodbury_k(lift(kinv_prev), rho_prev, rho_vec)
         for si in range(len(bounds) - 1):
-            x, z, y = run_segment(Kinv, rho_vec, x, z, y,
-                                  bounds[si + 1] - bounds[si])
+            x, z, y = run_segment_k(Kinv, rho_vec, x, z, y,
+                                    bounds[si + 1] - bounds[si])
             if si < len(bounds) - 2:
                 pri, dua, pri_s, dua_s = residuals(x, z, y)
                 ratio = jnp.sqrt((pri / jnp.maximum(pri_s, 1e-12))
@@ -402,10 +451,10 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
                 rho_new = jnp.where(eq, rho_scalar * settings.rho_eq_scale,
                                     rho_scalar)
                 rho_new = jnp.where(upd, rho_new, rho_vec)
-                Kinv = woodbury(Kinv, rho_vec, rho_new)
+                Kinv = woodbury_k(Kinv, rho_vec, rho_new)
                 rho_vec = rho_new
 
-        kinv_out, rho_out, rho_scalar_out = Kinv, rho_vec, rho_scalar
+        kinv_out, rho_out, rho_scalar_out = lower(Kinv), rho_vec, rho_scalar
 
         # --- Schur polish on the active box set ---------------------------
         if settings.polish:
@@ -421,7 +470,7 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             rhs = rhs.at[box0:].add(active * b_act / delta)
             if settings.delta_polish == settings.sigma:
                 # G = K + Sᵀ(active/δ − ρ)S: reuse the setup factorisation
-                Ginv = woodbury(Kinv, rho_vec, active / delta)
+                Ginv = lower(woodbury_k(Kinv, rho_vec, active / delta))
 
                 def g_apply(v):
                     Gv = H @ v + delta * v

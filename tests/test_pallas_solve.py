@@ -1,0 +1,168 @@
+"""Oracle tests for the Pallas hot-primitive kernels (interpret mode on CPU).
+
+Each kernel is checked against a straight-line JAX reimplementation of the
+math it fuses (the ADMM segment body and the Woodbury+Newton–Schulz refresh
+from qp/condensed.py). The integrated path (condensed.solve with
+pallas_mode="on") is cross-checked against the pure-JAX path end-to-end.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ironcub_mpc_tpu.ops import pallas_solve
+
+NU, BOX0 = 40, 24
+NBOX = NU - BOX0
+P = 128
+SIGMA, ALPHA = 1e-6, 1.6
+BIG = 1e30
+
+
+def _rand_qp(seed, batch):
+    rng = np.random.default_rng(seed)
+    M = rng.normal(size=(batch, NU, NU))
+    H = (M @ M.transpose(0, 2, 1) / NU + np.eye(NU)).astype(np.float32)
+    q = rng.normal(size=(batch, NU)).astype(np.float32)
+    lb = -np.abs(rng.normal(size=(batch, NBOX))).astype(np.float32)
+    ub = np.abs(rng.normal(size=(batch, NBOX))).astype(np.float32)
+    rho = np.abs(rng.normal(size=(batch, NBOX))).astype(np.float32) + 0.1
+    return jnp.asarray(H), jnp.asarray(q), jnp.asarray(lb), jnp.asarray(
+        ub), jnp.asarray(rho)
+
+
+def _kinv(H, rho):
+    K = H + SIGMA * jnp.eye(NU)
+    K = K.at[jnp.arange(BOX0, NU), jnp.arange(BOX0, NU)].add(rho)
+    Ki = jnp.linalg.inv(K)
+    return 0.5 * (Ki + Ki.T)
+
+
+def _segment_ref(Kinv, q, lb, ub, rho, x, z, y, length):
+    """Straight-line copy of the condensed.solve ADMM body (box layout)."""
+    for _ in range(length):
+        rhs = SIGMA * x - q
+        rhs = rhs.at[BOX0:].add(rho * z - y)
+        x_t = Kinv @ rhs
+        z_t = x_t[BOX0:]
+        x = ALPHA * x_t + (1 - ALPHA) * x
+        z_rel = ALPHA * z_t + (1 - ALPHA) * z
+        z_un = z_rel + y / rho
+        z_n = jnp.clip(z_un, lb, ub)
+        y = rho * (z_un - z_n)
+        z = z_n
+    return x, z, y
+
+
+def _pad_mat(A):
+    return jnp.pad(A, ((0, P - NU), (0, P - NU)))
+
+
+def _full(v_box):
+    return jnp.zeros((NU,), v_box.dtype).at[BOX0:].set(v_box)
+
+
+def _pad_vec(v):
+    return jnp.pad(v, (0, P - NU))[None, :]
+
+
+def test_admm_segment_matches_reference():
+    batch, length = 3, 17
+    H, q, lb, ub, rho = _rand_qp(0, batch)
+    Kinv = jax.vmap(_kinv)(H, rho)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(rng.normal(size=(batch, NU)), jnp.float32)
+    z0 = jnp.asarray(rng.normal(size=(batch, NBOX)), jnp.float32)
+    y0 = jnp.asarray(rng.normal(size=(batch, NBOX)), jnp.float32)
+
+    xr, zr, yr = jax.vmap(
+        lambda *a: _segment_ref(*a, length))(Kinv, q, lb, ub, rho, x0, z0, y0)
+
+    def one(Kinv, q, lb, ub, rho, x, z, y):
+        lb_f = _pad_vec(jnp.full((NU,), -BIG).at[BOX0:].set(lb))
+        ub_f = _pad_vec(jnp.full((NU,), BIG).at[BOX0:].set(ub))
+        rho_f = _pad_vec(_full(rho))
+        rhoi_f = _pad_vec(_full(1.0 / rho))
+        xf, zf, yf = pallas_solve.admm_segment(
+            _pad_mat(Kinv), _pad_vec(q), lb_f, ub_f, rho_f, rhoi_f,
+            _pad_vec(x), _pad_vec(_full(z)), _pad_vec(_full(y)),
+            sigma=SIGMA, alpha=ALPHA, length=length)
+        return xf[0, :NU], zf[0, BOX0:NU], yf[0, BOX0:NU]
+
+    xp, zp, yp = jax.jit(jax.vmap(one))(Kinv, q, lb, ub, rho, x0, z0, y0)
+    np.testing.assert_allclose(xp, xr, rtol=0, atol=2e-4)
+    np.testing.assert_allclose(zp, zr, rtol=0, atol=2e-4)
+    np.testing.assert_allclose(yp, yr, rtol=0, atol=2e-3)
+
+
+def _woodbury_ref(H, Kinv, rho_old, rho_new):
+    """Straight-line copy of condensed.solve's woodbury() (2 NS steps)."""
+    d = rho_new - rho_old
+    M = jnp.eye(NBOX) + d[:, None] * Kinv[BOX0:, BOX0:]
+    B = d[:, None] * Kinv[BOX0:, :]
+    X = jnp.linalg.solve(M, B)
+    Knew = Kinv - Kinv[:, BOX0:] @ X
+    K = H + SIGMA * jnp.eye(NU)
+    K = K.at[jnp.arange(BOX0, NU), jnp.arange(BOX0, NU)].add(rho_new)
+    for _ in range(2):
+        Knew = Knew @ (2.0 * jnp.eye(NU) - K @ Knew)
+    return 0.5 * (Knew + Knew.T)
+
+
+def test_woodbury_ns_matches_reference():
+    batch = 3
+    H, _, _, _, rho_old = _rand_qp(2, batch)
+    rho_new = rho_old * jnp.asarray(
+        np.random.default_rng(3).uniform(0.2, 5.0, (batch, NBOX)),
+        jnp.float32)
+    Kinv = jax.vmap(_kinv)(H, rho_old)
+
+    ref = jax.vmap(_woodbury_ref)(H, Kinv, rho_old, rho_new)
+
+    def one(H, Kinv, rho_old, rho_new):
+        d_col = _full(rho_new - rho_old)
+        d_col = jnp.pad(d_col, (0, P - NU))[:, None]
+        r_col = jnp.pad(_full(rho_new), (0, P - NU))[:, None]
+        out = pallas_solve.woodbury_ns(
+            _pad_mat(Kinv), _pad_mat(H), d_col, r_col,
+            box0=BOX0, n_box=NBOX, sigma=SIGMA, n_ns=2)
+        return out[:NU, :NU]
+
+    got = jax.jit(jax.vmap(one))(H, Kinv, rho_old, rho_new)
+    # both paths should be factorisation-grade inverses of K(rho_new)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=5e-4)
+    K = jax.vmap(lambda H, r: (H + SIGMA * jnp.eye(NU)).at[
+        jnp.arange(BOX0, NU), jnp.arange(BOX0, NU)].add(r))(H, rho_new)
+    resid = jnp.einsum("bij,bjk->bik", got, K) - jnp.eye(NU)
+    assert float(jnp.max(jnp.abs(resid))) < 1e-3
+
+
+def test_condensed_solve_pallas_path_matches_jax():
+    """End-to-end: the integrated pallas path in condensed.solve."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from ironcub_mpc_tpu.ops import admm
+    from ironcub_mpc_tpu.qp import mpc as vs_mpc
+
+    settings = admm.ADMMSettings(max_iter=12, polish=True,
+                                 rho_update_iters=(6,))
+    cfg, sched, sel, settings, problem, carry, snap, _ = ge._setup(
+        settings=settings)
+
+    def tick(s):
+        return vs_mpc.mpc_tick(cfg, sched, sel, s, problem, carry, snap,
+                               jnp.zeros(4))
+
+    _, out_jax = tick(settings)
+    s_pl = dataclasses.replace(settings, pallas_mode="on")
+    _, out_pl = tick(s_pl)
+    assert int(out_pl.status) == int(out_jax.status)
+    np.testing.assert_allclose(np.asarray(out_pl.joints_pos_ref),
+                               np.asarray(out_jax.joints_pos_ref),
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_pl.throttle),
+                               np.asarray(out_jax.throttle),
+                               rtol=0, atol=1e-3)
