@@ -349,6 +349,22 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
         y = jnp.zeros((n_box,), dt_) if warm_y is None else warm_y * c_s / E
         z = jnp.clip(x[box0:], lb, ub)
 
+        def run_segment(Kinv, rho_vec, x, z, y, length):
+            def body(carry, _):
+                x, z, y = carry
+                rhs = settings.sigma * x - q
+                rhs = rhs.at[box0:].add(rho_vec * z - y)
+                x_t = Kinv @ rhs
+                z_t = x_t[box0:]
+                x_n = settings.alpha * x_t + (1 - settings.alpha) * x
+                z_rel = settings.alpha * z_t + (1 - settings.alpha) * z
+                z_un = z_rel + y / rho_vec
+                z_n = jnp.clip(z_un, lb, ub)
+                y_n = rho_vec * (z_un - z_n)
+                return (x_n, z_n, y_n), None
+            (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=length)
+            return x, z, y
+
         # --- fused Pallas path for the hot primitives (ops/pallas_solve) --
         # The segment kernel keeps K⁻¹ resident in VMEM across iterations
         # (the lax.scan form re-reads it from HBM every iteration); the
@@ -396,22 +412,6 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
         else:
             lift = lower = lambda A: A
             woodbury_k, run_segment_k = woodbury, run_segment
-
-        def run_segment(Kinv, rho_vec, x, z, y, length):
-            def body(carry, _):
-                x, z, y = carry
-                rhs = settings.sigma * x - q
-                rhs = rhs.at[box0:].add(rho_vec * z - y)
-                x_t = Kinv @ rhs
-                z_t = x_t[box0:]
-                x_n = settings.alpha * x_t + (1 - settings.alpha) * x
-                z_rel = settings.alpha * z_t + (1 - settings.alpha) * z
-                z_un = z_rel + y / rho_vec
-                z_n = jnp.clip(z_un, lb, ub)
-                y_n = rho_vec * (z_un - z_n)
-                return (x_n, z_n, y_n), None
-            (x, z, y), _ = jax.lax.scan(body, (x, z, y), None, length=length)
-            return x, z, y
 
         def residuals(x, z, y):
             pri = jnp.max(jnp.abs((x[box0:] - z) / E))
