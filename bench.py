@@ -72,6 +72,45 @@ def main():
 
     solves_per_s = batch * iters / dt
     solved = float(jnp.mean((out.status == 1) | (out.status == 2)))
+
+    # --- single-solve latency on the real-time (batch=1) path ------------
+    # the reference's contract is one solve per 5 ms tick
+    # (vs_mcp_config.xml:10, variable_sampling_mpc.py:122-123).
+    # Two numbers: (a) device-sequential latency — CHAIN dependent ticks
+    # inside one jit and divide, which is what a co-located real-time loop
+    # pays per solve; (b) host round-trip including dispatch — inflated to
+    # tens of ms on this image because the TPU is reached through a network
+    # tunnel ("axon"), so (a) is the deadline-relevant figure.
+    CHAIN = 100
+
+    @jax.jit
+    def chain(carry, snap, est):
+        def body(c, _):
+            c, out = tick(c, snap, est)
+            return c, out.status
+        return jax.lax.scan(body, carry, None, length=CHAIN)
+
+    c1, st = chain(carry, snap, jnp.zeros(4))
+    jax.block_until_ready(st)
+    seq = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        c1, st = chain(c1, snap, jnp.zeros(4))
+        jax.block_until_ready(st)
+        seq.append((time.perf_counter() - t0) / CHAIN)
+    p50_ms = float(np.median(seq) * 1e3)
+
+    step1 = jax.jit(tick)
+    c2, out1 = step1(carry, snap, jnp.zeros(4))
+    jax.block_until_ready(out1)
+    lats = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        c2, out1 = step1(c2, snap, jnp.zeros(4))
+        jax.block_until_ready(out1)
+        lats.append(time.perf_counter() - t0)
+    rt_p50_ms = float(np.median(lats) * 1e3)
+
     result = {
         "metric": "mpc_solves_per_s",
         "value": round(solves_per_s, 1),
@@ -81,7 +120,9 @@ def main():
     print(json.dumps(result))
     print(f"# device={jax.devices()[0].platform} batch={batch} iters={iters} "
           f"compile={compile_s:.1f}s measure={dt:.2f}s "
-          f"per-solve={1e3*dt/(batch*iters):.3f}ms solved_frac={solved:.3f}",
+          f"per-solve={1e3*dt/(batch*iters):.3f}ms solved_frac={solved:.3f} "
+          f"single_solve_p50={p50_ms:.3f}ms (device-sequential, deadline 5ms) "
+          f"host_roundtrip_p50={rt_p50_ms:.3f}ms (tunnel-inflated)",
           file=sys.stderr)
 
 

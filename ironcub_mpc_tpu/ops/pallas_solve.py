@@ -120,26 +120,39 @@ def admm_segment(Kinv_p, q_f, lb_f, ub_f, rho_f, rhoi_f, x_f, z_f, y_f,
 
 def _woodbury_kernel(kinv_ref, h_ref, dcol_ref, rhocol_ref, out_ref,
                      *, box0, n_box, sigma, n_ns):
+    """All block embeds/extracts are expressed as matmuls against iota-built
+    selection matrices — Mosaic has no lowering for `dynamic_update_slice`
+    (nor lane-dim slicing at unaligned offsets), and `box0`/`n_box` are
+    trace-time constants anyway, so [32,128]-shaped 0/1 selectors on the MXU
+    cost nothing and always lower."""
     dt_ = kinv_ref.dtype
     Kinv = kinv_ref[:]
+    P = Kinv.shape[-1]
+    gj_rows = max(8, ((n_box + 7) // 8) * 8)
 
-    # --- capacitance M = I + diag(d_box) · K⁻¹[box, box]  (n_box × n_box) --
-    S = Kinv[box0:box0 + n_box, box0:box0 + n_box]
-    dblk = dcol_ref[box0:box0 + n_box, :]                     # [n_box, 1]
-    gj_rows = _pad_to(n_box) if n_box > 8 else 8
+    # Row selector Pr [gj_rows, P]: Pr[i, box0+i] = 1 for i < n_box, and its
+    # transpose-shaped column selector Pc [P, LANE]: Pc[box0+j, j] = 1.
+    r_rp = jax.lax.broadcasted_iota(jnp.int32, (gj_rows, P), 0)
+    c_rp = jax.lax.broadcasted_iota(jnp.int32, (gj_rows, P), 1)
+    Pr = ((c_rp - box0 == r_rp) & (r_rp < n_box)).astype(dt_)
+    r_pl = jax.lax.broadcasted_iota(jnp.int32, (P, LANE), 0)
+    c_pl = jax.lax.broadcasted_iota(jnp.int32, (P, LANE), 1)
+    Pc = ((r_pl - box0 == c_pl) & (c_pl < n_box)).astype(dt_)
+
+    # --- capacitance M = I + diag(d_box) · K⁻¹[box, box], laid in the
+    # top-left of a [gj_rows, LANE] Gauss-Jordan buffer [M | I] ------------
+    S_pad = _dot(_dot(Pr, Kinv), Pc)           # K⁻¹[box,box] at top-left
+    dblk = _dot(Pr, dcol_ref[:])               # [gj_rows, 1]
     ids_r = jax.lax.broadcasted_iota(jnp.int32, (gj_rows, LANE), 0)
     ids_c = jax.lax.broadcasted_iota(jnp.int32, (gj_rows, LANE), 1)
-    eye_nb = (ids_r[:n_box, :n_box] == ids_c[:n_box, :n_box]).astype(dt_)
-    M = eye_nb + dblk * S
+    eye_l = ((ids_r == ids_c) & (ids_r < n_box)).astype(dt_)
+    eye_r = ((ids_c - n_box == ids_r) & (ids_r < n_box)).astype(dt_)
+    buf = eye_l + dblk * S_pad + eye_r
 
-    # --- Gauss-Jordan [M | I] on a [gj_rows, 128] VMEM buffer -------------
+    # --- Gauss-Jordan [M | I] on the [gj_rows, 128] VMEM buffer -----------
     # No pivoting: M is generically well-pivoted after equilibration and the
     # Newton–Schulz pass below squares away pivot noise (see
-    # condensed._gj_inverse).
-    buf = jnp.zeros((gj_rows, LANE), dt_)
-    buf = jax.lax.dynamic_update_slice(buf, M, (0, 0))
-    buf = jax.lax.dynamic_update_slice(buf, eye_nb, (0, n_box))
-
+    # condensed._gj_inverse). Rows ≥ n_box stay identically zero.
     def gj_step(i, A):
         rowmask = ids_r == i
         colmask = ids_c == i
@@ -152,12 +165,18 @@ def _woodbury_kernel(kinv_ref, h_ref, dcol_ref, rhocol_ref, out_ref,
         return jnp.where(rowmask, row, A)
 
     buf = jax.lax.fori_loop(0, n_box, gj_step, buf)
-    Minv = buf[:n_box, n_box:2 * n_box]
 
     # --- Woodbury: Knew = K⁻¹ − K⁻¹ (E · diag(d) K⁻¹), E = embed(M⁻¹) -----
-    P = Kinv.shape[-1]
-    E = jnp.zeros((P, P), dt_)
-    E = jax.lax.dynamic_update_slice(E, Minv, (box0, box0))
+    # E = Q · buf · Rm picks M⁻¹ out of buf columns [n_box, 2·n_box) and
+    # embeds it at (box0, box0): Q[box0+i, i] = 1, Rm[n_box+j, box0+j] = 1.
+    r_pr = jax.lax.broadcasted_iota(jnp.int32, (P, gj_rows), 0)
+    c_pr = jax.lax.broadcasted_iota(jnp.int32, (P, gj_rows), 1)
+    Q = ((r_pr - box0 == c_pr) & (c_pr < n_box)).astype(dt_)
+    r_lp = jax.lax.broadcasted_iota(jnp.int32, (LANE, P), 0)
+    c_lp = jax.lax.broadcasted_iota(jnp.int32, (LANE, P), 1)
+    Rm = ((r_lp - n_box == c_lp - box0)
+          & (c_lp >= box0) & (c_lp < box0 + n_box)).astype(dt_)
+    E = _dot(_dot(Q, buf), Rm)
     B = dcol_ref[:] * Kinv                 # rows outside the box are zero
     Knew = Kinv - _dot(Kinv, _dot(E, B))
 
@@ -180,6 +199,12 @@ def woodbury_ns(Kinv_p, H_p, d_col, rho_new_col, *, box0: int, n_box: int,
     the box entries).  Batch with ``jax.vmap``.
     """
     P = Kinv_p.shape[-1]
+    if 2 * n_box > LANE:
+        # the in-kernel Gauss-Jordan stores [M | I] side by side in one
+        # 128-lane buffer; larger boxes must take the pure-JAX woodbury
+        raise ValueError(
+            f"woodbury_ns supports n_box <= {LANE // 2}, got {n_box}; "
+            "use pallas_mode='off' for larger box blocks")
     kernel = functools.partial(_woodbury_kernel, box0=int(box0),
                                n_box=int(n_box), sigma=float(sigma),
                                n_ns=int(n_ns))

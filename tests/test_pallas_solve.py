@@ -156,7 +156,11 @@ def test_condensed_solve_pallas_path_matches_jax():
         return vs_mpc.mpc_tick(cfg, sched, sel, s, problem, carry, snap,
                                jnp.zeros(4))
 
-    _, out_jax = tick(settings)
+    # force the pure-JAX path explicitly: with the default "auto" this
+    # reference tick would itself pick Pallas on a TPU host and the
+    # comparison would be vacuous (conftest pins CPU, but don't rely on it)
+    s_jax = dataclasses.replace(settings, pallas_mode="off")
+    _, out_jax = tick(s_jax)
     s_pl = dataclasses.replace(settings, pallas_mode="on")
     _, out_pl = tick(s_pl)
     assert int(out_pl.status) == int(out_jax.status)
