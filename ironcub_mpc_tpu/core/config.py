@@ -69,6 +69,15 @@ class MPCConfig:
     # "condensed" — exact state elimination to a 120-var box QP (fast path);
     # "full"      — sparse-form 588x512 QP like the reference's OSQP setup.
     qp_solver: str = "condensed"
+    # horizon condensing strategy (TPU-build extension): "assoc" composes
+    # the per-knot affine maps with jax.lax.associative_scan (log₂(nIter)
+    # parallel depth — the SURVEY §2.6 horizon-parallel axis, for long
+    # horizons); "sequential" is the forward chain. Measured on TPU v5e
+    # (tools/profile_solve_parts.py): at nIter=17 the chain wins at batch
+    # 512 (4.2 ms vs 13.7 ms — the batch axis already fills the MXU and
+    # assoc does ~2x FLOPs) and ties at batch 1, so it is the default;
+    # flip to "assoc" when nIter grows into the hundreds.
+    condense_mode: str = "sequential"
     # trajectory files (groups TRAJECTORY_MANAGER / POSITION_TRAJECTORY)
     alpha_gravity_trajectory: str = "data/trajectories/alpha_gravity.npz"
     position_trajectory: str = "data/trajectories/minimum_jerk.npz"

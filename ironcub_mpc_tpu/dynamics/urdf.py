@@ -120,21 +120,38 @@ def load_urdf(path: str, joint_order: Tuple[str, ...],
     for name in order[1:]:
         parent_urdf, j, fwd = edges[name]
         pm_name, pR, pp = fused_into[parent_urdf]
-        if fwd:
-            R_j, p_j, axis = j["R"], j["p"], j["axis"]
-        else:
-            # traversed backwards: invert transform; axis flips sign in the
-            # new child frame (old parent frame)
-            R_j = j["R"].T
-            p_j = -j["R"].T @ j["p"]
-            axis = -j["axis"]
         if j["name"] in keep:
-            # accumulated fused transform of the parent chain, then the joint
-            R0 = pR @ R_j
-            p0 = pp + pR @ p_j
-            add_model_link(name, pm_name, j["name"], R0, p0, np.asarray(axis))
-            fused_into[name] = (name, np.eye(3), np.zeros(3))
+            if fwd:
+                # accumulated fused transform of the parent chain, then the
+                # joint: X_child = X_parent · (pR,pp) · (R_o,p_o) · Rot(a,q)
+                R0 = pR @ j["R"]
+                p0 = pp + pR @ j["p"]
+                add_model_link(name, pm_name, j["name"], R0, p0,
+                               np.asarray(j["axis"]))
+                fused_into[name] = (name, np.eye(3), np.zeros(3))
+            else:
+                # Traversed backwards (re-rooting past a revolute joint):
+                #   X_oldparent = X_oldchild · Rot(a, −q) · T_o⁻¹.
+                # The rotation acts BEFORE the inverted offset — about the
+                # axis through the old child's origin — so it cannot be
+                # folded into a single (origin, axis) pair unless p_o lies
+                # on the axis. Model the joint exactly: a model link at the
+                # old child frame rotated by Rot(−a, q) (identity origin
+                # beyond the accumulated chain), with the URDF link hanging
+                # off it by the fixed offset T_o⁻¹ through the fused_into
+                # machinery — the URDF link name then surfaces as a named
+                # frame at its exact authored pose, like iDynTree keeps
+                # link frames invariant under setFloatingBase.
+                mid = name + "_axis"
+                add_model_link(mid, pm_name, j["name"], pR, pp,
+                               -np.asarray(j["axis"]))
+                fused_into[name] = (mid, j["R"].T, -j["R"].T @ j["p"])
         else:
+            if fwd:
+                R_j, p_j = j["R"], j["p"]
+            else:
+                R_j = j["R"].T
+                p_j = -j["R"].T @ j["p"]
             # fixed (or dropped) joint: fuse into the parent model link
             R0 = pR @ R_j
             p0 = pp + pR @ p_j

@@ -108,14 +108,25 @@ def solve_tp(P_mat, q, A, l, u, mesh: Mesh,
         (x, z_s, y_s), _ = jax.lax.scan(
             body, (x, z_s, y_s), None, length=settings.max_iter)
 
-        # unscaled residuals (collective norms)
+        # unscaled residuals (collective norms); same termination semantics
+        # as ops/admm.solve_prepared — primal AND dual tests, with the
+        # 10x-relaxed SOLVED_INACCURATE tier
+        Aty = psum(As.T @ y_s)
         pri = pmax(jnp.max(jnp.abs((As @ x - z_s) / E_s)))
-        dua = jnp.max(jnp.abs(
-            (Pm @ x + qv + psum(As.T @ y_s)) / D)) / c
+        dua = jnp.max(jnp.abs((Pm @ x + qv + Aty) / D)) / c
         pri_scale = jnp.maximum(pmax(jnp.max(jnp.abs((As @ x) / E_s))),
                                 pmax(jnp.max(jnp.abs(z_s / E_s))))
-        solved = pri <= settings.eps_abs + settings.eps_rel * pri_scale
-        status = jnp.where(solved, admm.SOLVED, admm.MAX_ITER_REACHED)
+        dua_scale = jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs((Pm @ x) / D)),
+                        jnp.max(jnp.abs(Aty / D))),
+            jnp.max(jnp.abs(qv / D))) / c
+        eps_pri = settings.eps_abs + settings.eps_rel * pri_scale
+        eps_dua = settings.eps_abs + settings.eps_rel * dua_scale
+        solved = (pri <= eps_pri) & (dua <= eps_dua)
+        inacc = (pri <= 10 * eps_pri) & (dua <= 10 * eps_dua)
+        status = jnp.where(solved, admm.SOLVED,
+                           jnp.where(inacc, admm.SOLVED_INACCURATE,
+                                     admm.MAX_ITER_REACHED))
         stats = jnp.stack([pri, dua, status.astype(dt)])
         return (jnp.concatenate([x * D, stats]), y_s * E_s / c, z_s / E_s)
 

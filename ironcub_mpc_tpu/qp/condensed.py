@@ -177,24 +177,55 @@ def condense(cfg: MPCConfig, sched: HorizonSchedule, lin: LinearizedDynamics,
     nj, nt, ch = cfg.n_ctrl_joints, cfg.n_jets, cfg.control_horizon
     dt_ = lin.Ac.dtype
     with jax.default_matmul_precision("highest"):
-        Fs, fs = [], []
-        F = jnp.zeros((ns, nU), dt_)
-        f = x0
         eye = jnp.eye(ns, dtype=dt_)
-        for k in range(cfg.n_iter):
-            dtk = sched.dts[k]
-            Ad = eye + dtk * lin.Ac
-            Mk = jnp.zeros((ns, nU), dt_)
-            jc = sched.joint_knot_of_step[k] * nj
-            Mk = Mk.at[:, jc:jc + nj].add(dtk * lin.BJ)
-            tc = nj * ch + sched.throttle_knot_of_step[k] * nt
-            Mk = Mk.at[:, tc:tc + nt].add(dtk * lin.BT)
-            F = Ad @ F + Mk
-            f = Ad @ f + dtk * lin.c
-            Fs.append(F)
-            fs.append(f)
-        F_all = jnp.stack(Fs)                      # [nIter, 26, nU]
-        f_all = jnp.stack(fs)                      # [nIter, 26]
+        if cfg.condense_mode == "assoc":
+            # Horizon-parallel condensing (SURVEY §5/§7.4): the per-knot
+            # affine maps x_{k+1} = Ad_k x_k + (M_k u + Δt_k c) compose
+            # associatively — (A2,B2)∘(A1,B1) = (A2A1, A2B1+B2) — so the
+            # 17-step propagation collapses to ⌈log₂ nIter⌉ levels of
+            # batched [26,26]×[26,nU+1] matmuls on the MXU instead of a
+            # sequential chain.
+            sel_j = np.zeros((cfg.n_iter, nj, nU))
+            sel_t = np.zeros((cfg.n_iter, nt, nU))
+            for k in range(cfg.n_iter):
+                jc = sched.joint_knot_of_step[k] * nj
+                sel_j[k, :, jc:jc + nj] = np.eye(nj)
+                tc = nj * ch + sched.throttle_knot_of_step[k] * nt
+                sel_t[k, :, tc:tc + nt] = np.eye(nt)
+            dts = jnp.asarray(np.asarray(sched.dts), dt_)    # [nIter]
+            Ads = eye + dts[:, None, None] * lin.Ac
+            M = dts[:, None, None] * (lin.BJ @ jnp.asarray(sel_j, dt_)
+                                      + lin.BT @ jnp.asarray(sel_t, dt_))
+            b = dts[:, None] * lin.c                          # [nIter, 26]
+            Baug = jnp.concatenate([M, b[:, :, None]], axis=2)
+
+            def comb(f_map, g_map):
+                A1, B1 = f_map
+                A2, B2 = g_map
+                return A2 @ A1, A2 @ B1 + B2
+
+            A_cum, B_cum = jax.lax.associative_scan(comb, (Ads, Baug))
+            F_all = B_cum[:, :, :nU]                   # [nIter, 26, nU]
+            f_all = (jnp.einsum("kab,b->ka", A_cum, x0)
+                     + B_cum[:, :, nU])                # [nIter, 26]
+        else:                                          # "sequential"
+            Fs, fs = [], []
+            F = jnp.zeros((ns, nU), dt_)
+            f = x0
+            for k in range(cfg.n_iter):
+                dtk = sched.dts[k]
+                Ad = eye + dtk * lin.Ac
+                Mk = jnp.zeros((ns, nU), dt_)
+                jc = sched.joint_knot_of_step[k] * nj
+                Mk = Mk.at[:, jc:jc + nj].add(dtk * lin.BJ)
+                tc = nj * ch + sched.throttle_knot_of_step[k] * nt
+                Mk = Mk.at[:, tc:tc + nt].add(dtk * lin.BT)
+                F = Ad @ F + Mk
+                f = Ad @ f + dtk * lin.c
+                Fs.append(F)
+                fs.append(f)
+            F_all = jnp.stack(Fs)                      # [nIter, 26, nU]
+            f_all = jnp.stack(fs)                      # [nIter, 26]
         r = state_reference.T                      # [nIter, 26]
         # contract only over weighted states (thrust/thrustDot rows carry no
         # tracking cost — 18 of 26 rows for the stock weights): static

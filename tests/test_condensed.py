@@ -79,3 +79,40 @@ def test_condensed_multi_rate_hold():
         np.testing.assert_allclose(throttles[k], first, atol=0.5)
     assert np.any(np.abs(throttles[19] - first) > 0.5)
     np.testing.assert_allclose(throttles[20], throttles[19], atol=0.5)
+
+
+def test_assoc_condensing_matches_sequential():
+    """Horizon-parallel (associative-scan) condensing reproduces the
+    sequential affine-map chain: identical F, f, H_c, q_c to f32 tolerance."""
+    from ironcub_mpc_tpu.ops import jet_model as jm
+    from ironcub_mpc_tpu.qp import condensed
+
+    cfg_a = dataclasses.replace(MPCConfig(), condense_mode="assoc")
+    cfg_s = dataclasses.replace(MPCConfig(), condense_mode="sequential")
+    sched = build_schedule(cfg_a)
+    sel = joint_selector(RobotConfig(), cfg_a)
+    snap = make_hover_snapshot(rng_seed=5)
+    channels, alpha = make_test_trajectories()
+    problem, carry = mpc_mod.configure(cfg_a, sched, sel, snap, channels,
+                                       alpha, SETTINGS)
+    est = jnp.zeros(4)
+    carry2, prep = mpc_mod._tick_prep(cfg_a, sel, problem, carry, snap, est)
+    selA = jnp.asarray(sel)
+    q_diag = jnp.diagonal(problem.Q)
+    jreg = cfg_a.weight_regularization_joint_pos * (
+        carry2.joints_pos_ref[selA] - problem.joint_pos_ref_ctrl)
+    tgrad = -cfg_a.weight_initial_throttle * jm.throttle_to_v(
+        carry2.throttle_cmd)
+
+    def build(cfg):
+        return condensed.condense(
+            cfg, sched, prep.lin, prep.x0, prep.state_ref, q_diag,
+            problem.H_u, jreg, tgrad, prep.pin, carry2.throttle_cmd)
+
+    qa, qs = build(cfg_a), build(cfg_s)
+    np.testing.assert_allclose(qa.F, qs.F, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(qa.f, qs.f, rtol=0, atol=5e-5)
+    scale_h = float(jnp.max(jnp.abs(qs.H)))
+    np.testing.assert_allclose(qa.H, qs.H, rtol=0, atol=2e-5 * scale_h)
+    scale_q = float(jnp.max(jnp.abs(qs.q)))
+    np.testing.assert_allclose(qa.q, qs.q, rtol=0, atol=2e-5 * scale_q)

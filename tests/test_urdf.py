@@ -110,9 +110,64 @@ def test_reversed_joint_sign_convention(tmp_path):
     zero = jnp.zeros(3)
     ls_f = kd_f.fk(eye, zero, q)
     ls_r = kd_r.fk(eye, zero, q)
-    # relative rotation chest->root_link must agree between both rootings
+    # relative rotation chest->root_link must agree between both rootings.
+    # In the re-rooted model the reversed link's authored frame survives as
+    # the named frame "root_link" on the "<name>_axis" model link.
     i_chest_f = m_fwd.link_names.index("chest")
-    i_root_r = m_rev.link_names.index("root_link")
+    fr = m_rev.frames["root_link"]
+    R_root_r = np.asarray(ls_r.R[fr.link]) @ fr.R
     R_rel_f = np.asarray(ls_f.R[0]).T @ np.asarray(ls_f.R[i_chest_f])
-    R_rel_r = np.asarray(ls_r.R[i_root_r]).T @ np.asarray(ls_r.R[0])
+    R_rel_r = R_root_r.T @ np.asarray(ls_r.R[0])
     np.testing.assert_allclose(R_rel_f, R_rel_r, atol=1e-6)
+
+
+def test_reversed_offaxis_joint_exact(tmp_path):
+    """Re-rooting past a revolute joint whose origin translation is OFF the
+    rotation axis and whose origin rotation does not commute with it: the
+    relative transform (rotation AND translation) between the two links must
+    agree across rootings at nonzero q. X_oldparent = X_oldchild·Rot(a,−q)·
+    T_o⁻¹ — a naive (T_o⁻¹, −a) inversion gets both parts wrong."""
+    mini = textwrap.dedent("""\
+    <robot name="offaxis">
+      <link name="a"><inertial><mass value="1.0"/><origin xyz="0 0 0"/>
+        <inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/>
+      </inertial></link>
+      <link name="b"><inertial><mass value="1.0"/><origin xyz="0 0 0"/>
+        <inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/>
+      </inertial></link>
+      <joint name="j" type="revolute">
+        <parent link="a"/><child link="b"/>
+        <origin xyz="0.3 0.2 0.1" rpy="0.3 0 0"/><axis xyz="0 1 0"/>
+        <limit lower="-2" upper="2" effort="10" velocity="10"/>
+      </joint>
+    </robot>
+    """)
+    path = tmp_path / "offaxis.urdf"
+    path.write_text(mini)
+    q = jnp.asarray([0.7], jnp.float32)
+
+    def pose(mdl, name):
+        kd = KinDyn(mdl)
+        ls = kd.fk(jnp.eye(3), jnp.zeros(3), q)
+        if name in mdl.link_names:
+            i = mdl.link_names.index(name)
+            return (np.asarray(ls.R[i], np.float64),
+                    np.asarray(ls.p[i], np.float64))
+        fr = mdl.frames[name]
+        R = np.asarray(ls.R[fr.link], np.float64)
+        p = np.asarray(ls.p[fr.link], np.float64)
+        return R @ fr.R, p + R @ fr.p
+
+    def rel(mdl):
+        Ra, pa = pose(mdl, "a")
+        Rb, pb = pose(mdl, "b")
+        return Ra.T @ Rb, Ra.T @ (pb - pa)
+
+    m_fwd = load_urdf(str(path), ("j",), "a")
+    m_rev = load_urdf(str(path), ("j",), "b")
+    # the authored link frame survives re-rooting as a named frame
+    assert "a" in m_rev.frames
+    R_f, p_f = rel(m_fwd)
+    R_r, p_r = rel(m_rev)
+    np.testing.assert_allclose(R_r, R_f, atol=1e-6)
+    np.testing.assert_allclose(p_r, p_f, atol=1e-6)

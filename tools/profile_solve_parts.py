@@ -56,17 +56,23 @@ q_diag = jnp.diagonal(problem.Q)
 selA = jnp.asarray(sel)
 
 
-def cond_fn(carry, prep):
+def cond_fn(carry, prep, mode_cfg):
     joint_reg_grad = cfg.weight_regularization_joint_pos * (
         carry.joints_pos_ref[selA] - problem.joint_pos_ref_ctrl)
     throttle_init_grad = (-cfg.weight_initial_throttle
                           * jm.throttle_to_v(carry.throttle_cmd))
     return condensed.condense(
-        cfg, sched, prep.lin, prep.x0, prep.state_ref, q_diag, problem.H_u,
-        joint_reg_grad, throttle_init_grad, prep.pin, carry.throttle_cmd)
+        mode_cfg, sched, prep.lin, prep.x0, prep.state_ref, q_diag,
+        problem.H_u, joint_reg_grad, throttle_init_grad, prep.pin,
+        carry.throttle_cmd)
 
 
-qps = jax.jit(jax.vmap(cond_fn))(carries2, preps)
+import dataclasses as _dc  # noqa: E402
+
+for mode in ("sequential", "assoc"):
+    mcfg = _dc.replace(cfg, condense_mode=mode)
+    fn = jax.jit(jax.vmap(lambda c, p: cond_fn(c, p, mcfg)))
+    qps = bench(f"condense ({mode})", fn, carries2, preps)
 
 nU = qps.H.shape[1]
 n_box = qps.lb.shape[1]
