@@ -41,6 +41,11 @@ class RobotSnapshot(NamedTuple):
     rel_jac_ang: jax.Array        # [4,3,J] angular rows of base-relative jet Jacobians
     joint_pos: jax.Array          # [J]   measured joint positions
     jet_thrusts: jax.Array        # [4]   estimated/applied thrusts [N]
+    # external-wrench aggregation (Robot.cpp:280-322); None when the state
+    # was computed without wrench measurements
+    ext_wrench_sum: jax.Array = None   # [6] total external wrench, world
+    zmp: jax.Array = None              # [3] zero-moment point (z = 0)
+    on_ground: jax.Array = None        # [] bool contact flag
 
 
 class MPCCarry(NamedTuple):
@@ -82,6 +87,20 @@ class MPCCarry(NamedTuple):
     rho_scalar: jax.Array = None  # []
 
 
+class DebugInfo(NamedTuple):
+    """Per-tick QP introspection, emitted when ``enable_debug_log_mode`` is
+    on (IMPCProblem.cpp:300-408). Zeroed cost/Ax on non-solved ticks, like
+    the reference."""
+
+    total_cost: jax.Array         # [] ½xᵀHx + gᵀx of the accepted solution
+    block_costs: jax.Array        # [4] per cost block, registration order:
+    #                               ReferenceTracking, Regualarization,
+    #                               ThrottleInitialValue, JointPositionReg
+    constraint_lb: jax.Array      # [m] stacked per-block lower bounds
+    constraint_ax: jax.Array      # [m] A x rows (zeroed when not solved)
+    constraint_ub: jax.Array      # [m]
+
+
 class MPCOutput(NamedTuple):
     """Per-tick controller output (VariableSamplingMPC getters,
     variableSamplingMPC.cpp:114-217)."""
@@ -98,3 +117,6 @@ class MPCOutput(NamedTuple):
     pos_com_ref: jax.Array        # [3] active CoM reference (telemetry)
     rpy_ref: jax.Array            # [3]
     mom_ref: jax.Array            # [6]
+    # per-block introspection; None unless cfg.enable_debug_log_mode (a
+    # static config branch — zero overhead when off)
+    debug: DebugInfo = None

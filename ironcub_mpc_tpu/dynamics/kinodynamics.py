@@ -234,11 +234,19 @@ def _axis_angle(axis, angle):
 
 def compute_snapshot(kd: KinDyn, jets: Tuple[str, ...], base_R, base_p,
                      base_vel, q, qd, jet_thrusts,
-                     jet_axis_local=(0.0, 0.0, -1.0)) -> RobotSnapshot:
+                     jet_axis_local=(0.0, 0.0, -1.0),
+                     ext_wrench_frames: Tuple[str, ...] = (),
+                     ext_wrenches_body=None,
+                     ground_threshold: float = 5.0) -> RobotSnapshot:
     """Everything the MPC needs from one measured state.
 
     ``base_vel`` = [v_base_origin(world); ω(world)] (mixed). Jet thrust acts
     along the jet frame's local ``jet_axis_local`` (Robot.cpp:182-185).
+
+    When ``ext_wrench_frames``/``ext_wrenches_body`` ([W, 6] force+torque in
+    each named frame) are given, the snapshot also carries the aggregated
+    external wrench, ZMP and ground-contact flag that the reference computes
+    on every ``setState`` (Robot.cpp:280-322).
     """
     model = kd.model
     dt_ = kd.dtype
@@ -282,7 +290,16 @@ def compute_snapshot(kd: KinDyn, jets: Tuple[str, ...], base_R, base_p,
     amom_body = jnp.concatenate(
         [base_R.T @ amom_w[0:3], base_R.T @ amom_w[3:6]], axis=0)
 
+    ext_sum = zmp_pt = on_ground = None
+    if ext_wrench_frames:
+        from .wrenches import compute_wrench_summary
+        ws = compute_wrench_summary(
+            kd, ls, J, com, ext_wrench_frames, ext_wrenches_body, jcom,
+            ground_threshold)
+        ext_sum, zmp_pt, on_ground = ws.sum_world, ws.zmp, ws.on_ground
+
     return RobotSnapshot(
+        ext_wrench_sum=ext_sum, zmp=zmp_pt, on_ground=on_ground,
         w_R_b=base_R,
         base_pos=base_p,
         base_ang_vel_world=base_vel[3:6],

@@ -19,12 +19,14 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 from ..core import constants as C
 from ..core.config import MPCConfig
-from ..core.types import MPCCarry, MPCOutput, RobotSnapshot
+from ..core.types import DebugInfo, MPCCarry, MPCOutput, RobotSnapshot
 from ..horizon.schedule import HorizonSchedule
 from ..ops import admm
 from ..ops import jet_model as jm
@@ -245,6 +247,85 @@ def configure(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...]
 
 
 # ---------------------------------------------------------------------------
+# debug-log mode (IMPCProblem.cpp:300-408: per-block ½xᵀHx+gᵀx and
+# lb ≤ Ax ≤ ub triples, zeroed on non-solved ticks)
+# ---------------------------------------------------------------------------
+
+
+def _block_costs(cfg: MPCConfig, q_diag, states, state_ref, u,
+                 joint_reg_grad, throttle_init_grad):
+    """Per-cost-block ½xᵀH_b x + g_bᵀx values, registration order
+    (variableSamplingMPC.cpp:70-76). ``states`` [nIter, 26] are knots
+    1..nIter, ``state_ref`` [26, nIter]."""
+    nj, nt, ch = cfg.n_ctrl_joints, cfg.n_jets, cfg.control_horizon
+    r = state_ref.T
+    tracking = jnp.sum((0.5 * states - r) * q_diag[None, :] * states)
+    dq = u[:nj * ch].reshape(ch, nj)
+    wj = jnp.asarray(cfg.weight_delta_joint, u.dtype)
+    reg = 0.5 * jnp.sum(dq * dq * wj[None, :])
+    v = u[nj * ch:].reshape(-1, nt)
+    dv = v[1:] - v[:-1]
+    reg = reg + 0.5 * cfg.weight_throttle * jnp.sum(dv * dv)
+    thr0 = (0.5 * cfg.weight_initial_throttle * jnp.sum(v[0] * v[0])
+            + jnp.sum(throttle_init_grad * v[0]))
+    jreg = (0.5 * cfg.weight_regularization_joint_pos * jnp.sum(dq * dq)
+            + jnp.sum(joint_reg_grad[None, :] * dq))
+    return jnp.stack([tracking, reg, thr0, jreg])
+
+
+def _debug_condensed(cfg: MPCConfig, sched, prep, qp, csol, q_diag,
+                     joint_reg_grad, throttle_init_grad) -> DebugInfo:
+    """Triples for the condensed path without re-assembling A: dynamics and
+    initial-state equalities hold exactly by construction of the
+    elimination, so their Ax equals the bound; box rows carry the true
+    iterate. Row order/padding matches the reference stack
+    (IMPCProblem.cpp:83-134, constraintsVSMPC.cpp:283 zero-row quirk)."""
+    nt = cfg.n_jets
+    dt_ = csol.u.dtype
+    solved = (csol.status == admm.SOLVED) | (csol.status
+                                             == admm.SOLVED_INACCURATE)
+    b_dyn = (-jnp.asarray(np.asarray(sched.dts), dt_)[:, None]
+             * prep.lin.c[None, :]).reshape(-1)
+    n_tk = nt * cfg.n_throttle_knots
+    pad = cfg.n_throttle_constraints - n_tk
+    v_all = csol.u[-n_tk:]
+    lb_t = jnp.concatenate([qp.lb[-n_tk:], jnp.zeros(pad, dt_)])
+    ub_t = jnp.concatenate([qp.ub[-n_tk:], jnp.zeros(pad, dt_)])
+    ax_t = jnp.concatenate([v_all, jnp.zeros(pad, dt_)])
+    lbs = [b_dyn, prep.x0, lb_t]
+    ubs = [b_dyn, prep.x0, ub_t]
+    axs = [b_dyn, prep.x0, ax_t]
+    if cfg.use_joint_position_constraint:
+        njc = cfg.n_ctrl_joints * cfg.control_horizon
+        padj = cfg.n_joint_position_constraints - njc
+        lbs.append(jnp.concatenate([qp.lb[:njc], jnp.zeros(padj, dt_)]))
+        ubs.append(jnp.concatenate([qp.ub[:njc], jnp.zeros(padj, dt_)]))
+        axs.append(jnp.concatenate([csol.u[:njc], jnp.zeros(padj, dt_)]))
+    costs = _block_costs(cfg, q_diag, csol.states, prep.state_ref, csol.u,
+                         joint_reg_grad, throttle_init_grad)
+    costs = jnp.where(solved, costs, 0.0)
+    ax = jnp.where(solved, jnp.concatenate(axs), 0.0)
+    return DebugInfo(total_cost=jnp.sum(costs), block_costs=costs,
+                     constraint_lb=jnp.concatenate(lbs), constraint_ax=ax,
+                     constraint_ub=jnp.concatenate(ubs))
+
+
+def _debug_full(cfg: MPCConfig, problem, prep, x, A, lb, ub, status,
+                joint_reg_grad, throttle_init_grad) -> DebugInfo:
+    ns = cfg.n_states
+    solved = (status == admm.SOLVED) | (status == admm.SOLVED_INACCURATE)
+    states = x[ns:ns * (cfg.n_iter + 1)].reshape(cfg.n_iter, ns)
+    u = x[cfg.joints_offset:]
+    costs = _block_costs(cfg, jnp.diagonal(problem.Q), states,
+                         prep.state_ref, u, joint_reg_grad,
+                         throttle_init_grad)
+    costs = jnp.where(solved, costs, 0.0)
+    ax = jnp.where(solved, A @ x, 0.0)
+    return DebugInfo(total_cost=jnp.sum(costs), block_costs=costs,
+                     constraint_lb=lb, constraint_ax=ax, constraint_ub=ub)
+
+
+# ---------------------------------------------------------------------------
 # one tick
 # ---------------------------------------------------------------------------
 
@@ -305,7 +386,7 @@ def _assemble(cfg, sched, joint_sel, problem: MPCProblem, carry: MPCCarry,
     A, lb, ub = assembly.assemble_constraints(
         cfg, sched, prep.lin, prep.x0, prep.pin, carry.throttle_cmd,
         joint_pos_ctrl=carry.joints_pos_ref[sel])
-    return g, A, lb, ub, carry, prep.lin
+    return g, A, lb, ub, carry, prep
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))
@@ -352,8 +433,11 @@ def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
         thrust_dot_des = csol.states[0, C.THRUST_DOT]
         final_state = csol.states[-1]
         warm_x, warm_y = csol.u, csol.y
+        debug = (_debug_condensed(cfg, sched, prep, qp, csol, q_diag,
+                                  joint_reg_grad, throttle_init_grad)
+                 if cfg.enable_debug_log_mode else None)
     else:
-        g, A, lb, ub, carry, _ = _assemble(
+        g, A, lb, ub, carry, prep = _assemble(
             cfg, sched, joint_sel, problem, carry, snap, est_thrust_dot)
         data = admm.prepare(problem.H, g, A, lb, ub, settings,
                             scaling=problem.scaling)
@@ -368,6 +452,15 @@ def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
         thrust_dot_des = sol.x[ns + C.THRUST_DOT0: ns + C.THRUST_DOT0 + 4]
         final_state = sol.x[ns * cfg.n_iter: ns * (cfg.n_iter + 1)]
         warm_x, warm_y = sol.x, sol.y
+        if cfg.enable_debug_log_mode:
+            jrg = cfg.weight_regularization_joint_pos * (
+                carry.joints_pos_ref[sel] - problem.joint_pos_ref_ctrl)
+            tig = (-cfg.weight_initial_throttle
+                   * jm.throttle_to_v(carry.throttle_cmd))
+            debug = _debug_full(cfg, problem, prep, sol.x, A, lb, ub,
+                                status, jrg, tig)
+        else:
+            debug = None
 
     solved = status == admm.SOLVED
     joints_new = carry.joints_pos_ref.at[sel].add(delta_joints)
@@ -393,5 +486,6 @@ def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
         pos_com_ref=carry.pos_com_ref_now,
         rpy_ref=carry.rpy_ref_now,
         mom_ref=carry.mom_ref_now,
+        debug=debug,
     )
     return carry, out

@@ -64,6 +64,12 @@ class TickTelemetry(NamedTuple):
     solver_status: jnp.ndarray
     pri_res: jnp.ndarray
     dua_res: jnp.ndarray
+    # wrench aggregation channels (Robot.cpp:280-322 per-setState outputs)
+    zmp: jnp.ndarray
+    on_ground: jnp.ndarray
+    ext_wrench_sum: jnp.ndarray
+    # per-block QP introspection; None unless enable_debug_log_mode
+    debug: object = None
 
 
 class ClosedLoop:
@@ -87,12 +93,17 @@ class ClosedLoop:
     def snapshot(self, s: PlantState) -> Tuple[RobotSnapshot, PlantState]:
         """Robot.setState equivalent from plant sensors (raw velocities are
         fed to the kinodynamics, as in the reference; the low-pass is
-        telemetry-only — ironcub_mujoco_simulator.py:327-346)."""
+        telemetry-only — ironcub_mujoco_simulator.py:327-346). Sole contact
+        wrenches feed the snapshot's ZMP/ground-contact aggregation
+        (Robot.cpp:280-322)."""
         lin, ang, s = self.plant.measured_base_velocity(s)
         base_vel = jnp.concatenate([lin, ang])
         snap = compute_snapshot(
             self.kd, self.robot_cfg.jets_list, s.base_R, s.base_p, base_vel,
-            s.q, s.qd, self.plant.applied_thrust(s))
+            s.q, s.qd, self.plant.applied_thrust(s),
+            ext_wrench_frames=("l_sole", "r_sole"),
+            ext_wrenches_body=self.plant.sole_wrenches(s),
+            ground_threshold=self.robot_cfg.threshold_normal_force_on_ground)
         return snap, s
 
     def settle(self, s: PlantState, seconds: float = 2.0) -> PlantState:
@@ -158,6 +169,10 @@ class ClosedLoop:
             solver_status=out.status,
             pri_res=out.pri_res,
             dua_res=out.dua_res,
+            zmp=snap.zmp,
+            on_ground=snap.on_ground,
+            ext_wrench_sum=snap.ext_wrench_sum,
+            debug=out.debug,
         )
 
         s = self.plant.step(s, self.n_substeps)

@@ -46,16 +46,37 @@ MAT_KEYS = {
     "solver_status": "solver_status",
     "pri_res": "pri_res",
     "dua_res": "dua_res",
+    "zmp": "ZMP",
+    "on_ground": "robot_on_ground",
+    "ext_wrench_sum": "sum_external_wrenches",
 }
 
 
+DEBUG_BLOCK_NAMES = ("ReferenceTrackingCost", "RegualarizationCost",
+                     "ThrottleInitialValueCost",
+                     "JointPositionRegularizationCost")
+
+
 def to_mat_dict(tel: "TickTelemetry", period: float = 0.005) -> dict:
-    """Stacked telemetry -> reference-named numpy dict (+time_controller)."""
+    """Stacked telemetry -> reference-named numpy dict (+time_controller).
+
+    When the run was recorded with ``enable_debug_log_mode`` on, the
+    per-block cost channels (``<block>::xHx_gx``, IMPCProblem.cpp:360-376)
+    and the stacked ``lb ≤ Ax ≤ ub`` triples (:378-405) are included."""
     out = {}
     for field, key in MAT_KEYS.items():
         out[key] = np.asarray(getattr(tel, field))
     n = out["CoMPosition"].shape[0]
     out["time_controller"] = np.arange(1, n + 1) * period
+    dbg = getattr(tel, "debug", None)
+    if dbg is not None:
+        out["debug_total_cost"] = np.asarray(dbg.total_cost)
+        costs = np.asarray(dbg.block_costs)
+        for i, name in enumerate(DEBUG_BLOCK_NAMES):
+            out[f"debug_{name}_xHx_gx"] = costs[..., i]
+        out["debug_constraint_lb"] = np.asarray(dbg.constraint_lb)
+        out["debug_constraint_Ax"] = np.asarray(dbg.constraint_ax)
+        out["debug_constraint_ub"] = np.asarray(dbg.constraint_ub)
     return out
 
 
@@ -73,28 +94,6 @@ def save_mat(tel: "TickTelemetry", path: str | None = None,
     return path
 
 
-def debug_block_costs(problem, cfg, u, states, state_reference) -> dict:
-    """Per-cost-block values of a condensed solution — the debug-mode
-    ``<block>::xHx_gx`` channels (IMPCProblem.cpp:360-376).
-
-    Returns {block name: cost value} for the four cost blocks.
-    """
-    import jax.numpy as jnp
-
-    nj, nt, ch = cfg.n_ctrl_joints, cfg.n_jets, cfg.control_horizon
-    q_diag = jnp.diagonal(problem.Q)
-    err = states - state_reference.T
-    tracking = float(jnp.sum(err * err * q_diag[None, :]))
-    dq = u[:nj * ch].reshape(ch, nj)
-    reg_joint = float(jnp.sum(
-        dq * dq * jnp.asarray(cfg.weight_delta_joint)[None, :]))
-    v = u[nj * ch:].reshape(-1, nt)
-    dv = v[1:] - v[:-1]
-    reg_throttle = float(cfg.weight_throttle * jnp.sum(dv * dv))
-    init_throttle = float(cfg.weight_initial_throttle * jnp.sum(v[0] * v[0]))
-    return {
-        "ReferenceTrackingCost": tracking,
-        "RegualarizationCost": reg_joint + reg_throttle,
-        "ThrottleInitialValueCost": init_throttle,
-        "JointPositionRegularizationCost": None,  # needs joint state; see loop
-    }
+# NOTE: per-block cost values are computed in-graph by
+# ironcub_mpc_tpu.qp.mpc._block_costs when cfg.enable_debug_log_mode is on
+# and surface here through TickTelemetry.debug / to_mat_dict.

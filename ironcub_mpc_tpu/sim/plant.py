@@ -121,6 +121,51 @@ class Plant:
         return s.thrust_cmd
 
     # ------------------------------------------------------------------
+    # contact model (shared by the dynamics and the FT-sensor readout)
+    # ------------------------------------------------------------------
+
+    def _sole_corner_forces(self, ls, J, nu, fr):
+        """Per-corner (world point, world force) of the penalty contact."""
+        kd = self.kd
+        p = self.params
+        R_f = ls.R[fr.link] @ jnp.asarray(fr.R, kd.dtype)
+        p_f = ls.p[fr.link] + ls.R[fr.link] @ jnp.asarray(fr.p, kd.dtype)
+        V = J[fr.link] @ nu  # spatial velocity at origin
+        out = []
+        for corner in self._corners:
+            pc = p_f + R_f @ jnp.asarray(corner, kd.dtype)
+            vc = V[0:3] + jnp.cross(V[3:6], pc)
+            pen = -pc[2]
+            fz = jnp.maximum(p.contact_kp * pen - p.contact_kd * vc[2], 0.0)
+            fz = jnp.where(pen > 0, fz, 0.0)
+            vt = vc[0:2]
+            ft = -p.friction_mu * fz * vt / (
+                jnp.linalg.norm(vt) + p.friction_vel)
+            out.append((pc, jnp.concatenate([ft, fz[None]])))
+        return out
+
+    def sole_wrenches(self, s: PlantState):
+        """Ground-contact wrench per sole in the sole frame — the FT-sensor
+        readout the reference feeds to ``Robot.setState`` as external
+        wrenches (ironcub_mujoco_simulator.py wrench path + Robot.cpp:280).
+        Returns [2, 6] (force, torque about the sole origin)."""
+        kd = self.kd
+        ls = kd.fk(s.base_R, s.base_p, s.q)
+        J = kd.link_spatial_jacobians(ls, s.base_p)
+        nu = jnp.concatenate([s.base_v, s.qd])
+        out = []
+        for fr in self._sole_frames:
+            R_f = ls.R[fr.link] @ jnp.asarray(fr.R, kd.dtype)
+            p_f = ls.p[fr.link] + ls.R[fr.link] @ jnp.asarray(fr.p, kd.dtype)
+            f_tot = jnp.zeros(3, kd.dtype)
+            tau_tot = jnp.zeros(3, kd.dtype)
+            for pc, f in self._sole_corner_forces(ls, J, nu, fr):
+                f_tot = f_tot + f
+                tau_tot = tau_tot + jnp.cross(pc - p_f, f)
+            out.append(jnp.concatenate([R_f.T @ f_tot, R_f.T @ tau_tot]))
+        return jnp.stack(out)
+
+    # ------------------------------------------------------------------
     # one 1 kHz substep
     # ------------------------------------------------------------------
 
@@ -171,19 +216,7 @@ class Plant:
 
         # ground contact at sole corners
         for fr in self._sole_frames:
-            R_f = ls.R[fr.link] @ jnp.asarray(fr.R, kd.dtype)
-            p_f = ls.p[fr.link] + ls.R[fr.link] @ jnp.asarray(fr.p, kd.dtype)
-            V = J[fr.link] @ nu  # spatial velocity at origin
-            for corner in self._corners:
-                pc = p_f + R_f @ jnp.asarray(corner, kd.dtype)
-                vc = V[0:3] + jnp.cross(V[3:6], pc)
-                pen = -pc[2]
-                fz = jnp.maximum(p.contact_kp * pen - p.contact_kd * vc[2], 0.0)
-                fz = jnp.where(pen > 0, fz, 0.0)
-                vt = vc[0:2]
-                ft = -p.friction_mu * fz * vt / (
-                    jnp.linalg.norm(vt) + p.friction_vel)
-                f = jnp.concatenate([ft, fz[None]])
+            for pc, f in self._sole_corner_forces(ls, J, nu, fr):
                 F_O = jnp.concatenate([f, jnp.cross(pc, f)])
                 tau = tau + J[fr.link].T @ F_O
 

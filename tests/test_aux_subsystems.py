@@ -203,3 +203,66 @@ def test_host_mujoco_closed_loop_ticks():
         sim.step(5)
         statuses.append(int(out.status))
     assert all(s in (admm.SOLVED, admm.SOLVED_INACCURATE) for s in statuses)
+
+
+def test_debug_log_mode():
+    """enable_debug_log_mode parity (IMPCProblem.cpp:300-408): flag on emits
+    per-block ½xᵀHx+gᵀx values and lb ≤ Ax ≤ ub triples on both solver
+    paths, and the two paths agree on the block costs; flag off emits
+    nothing (static branch)."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from ironcub_mpc_tpu.qp import mpc as vs_mpc
+
+    settings = admm.ADMMSettings(max_iter=120, pallas_mode="off")
+
+    def one_tick(cfg):
+        cfg2, sched, sel, st, problem, carry, snap, _ = ge._setup(
+            cfg=cfg, settings=settings)
+        return vs_mpc.mpc_tick(cfg2, sched, sel, st, problem, carry, snap,
+                               jnp.zeros(4))
+
+    # flag off: no debug payload
+    _, out_off = one_tick(MPCConfig())
+    assert out_off.debug is None
+
+    outs = {}
+    for solver in ("condensed", "full"):
+        cfg = dataclasses.replace(MPCConfig(), enable_debug_log_mode=True,
+                                  qp_solver=solver)
+        _, out = one_tick(cfg)
+        dbg = out.debug
+        assert dbg is not None
+        assert int(out.status) in (admm.SOLVED, admm.SOLVED_INACCURATE)
+        m = MPCConfig().n_constraints
+        assert dbg.constraint_lb.shape == (m,)
+        # the accepted solution satisfies every row (loose feasibility tol)
+        ax = np.asarray(dbg.constraint_ax, np.float64)
+        lb = np.asarray(dbg.constraint_lb, np.float64)
+        ub = np.asarray(dbg.constraint_ub, np.float64)
+        scale = np.maximum(np.abs(lb), 1.0)
+        assert np.all(ax >= lb - 5e-3 * scale), (ax - lb).min()
+        assert np.all(ax <= ub + 5e-3 * scale), (ub - ax).min()
+        np.testing.assert_allclose(float(dbg.total_cost),
+                                   float(jnp.sum(dbg.block_costs)),
+                                   rtol=1e-6)
+        outs[solver] = np.asarray(dbg.block_costs, np.float64)
+
+    # both solvers minimize the same QP: per-block costs agree
+    scale = max(np.abs(outs["full"]).max(), 1.0)
+    assert np.abs(outs["condensed"] - outs["full"]).max() / scale < 1e-2, (
+        outs)
+
+    # channels flow into the .mat dict
+    from ironcub_mpc_tpu.runtime.telemetry import to_mat_dict
+    from ironcub_mpc_tpu.runtime.loop import TickTelemetry
+    z3 = jnp.zeros(3)
+    tel = TickTelemetry(*([z3] * 15), *([jnp.zeros(4)] * 4),
+                        jnp.zeros(()), jnp.zeros(4), jnp.zeros(()),
+                        jnp.zeros(()), jnp.zeros(()), z3,
+                        jnp.zeros((), bool), jnp.zeros(6),
+                        debug=outs and out.debug)
+    mat = to_mat_dict(tel)
+    assert "debug_ReferenceTrackingCost_xHx_gx" in mat
+    assert mat["debug_constraint_Ax"].shape == (MPCConfig().n_constraints,)

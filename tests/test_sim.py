@@ -166,3 +166,52 @@ def test_closed_loop_smoke():
     drift = np.linalg.norm(
         np.asarray(tel.com_position[-1]) - np.asarray(tel.com_position[0]))
     assert drift < 0.02
+
+
+def test_wrench_zmp_in_loop():
+    """Standing: the snapshot aggregates sole contact wrenches — on_ground
+    true, vertical force ≈ weight minus idle thrust, ZMP inside the support
+    region; airborne: on_ground false, zero ZMP (Robot.cpp:280-322 parity
+    through the closed-loop snapshot path)."""
+    import sys
+    sys.path.insert(0, str(ROOT / "examples"))
+    from closed_loop_demo import standing_state
+
+    from ironcub_mpc_tpu.runtime.loop import ClosedLoop
+
+    model = build_ironcub_model()
+    kd = KinDyn(model)
+    plant = Plant(kd, RobotConfig(), SimConfig(use_nn_jet_dynamics=False))
+    loop = ClosedLoop(plant, MPCConfig(), admm.ADMMSettings(max_iter=60))
+    s = standing_state(plant, SimConfig().initial_position_deg)
+    s = jax.jit(lambda s: loop.settle(s, 0.5))(s)
+    snap, s = loop.snapshot(s)
+    assert bool(snap.on_ground)
+    m = kd.model.total_mass
+    thrust_z = float(jnp.sum(
+        snap.jet_axes_world[:, 2] * plant.applied_thrust(s)))
+    want_fz = m * 9.81 - thrust_z
+    np.testing.assert_allclose(float(snap.ext_wrench_sum[2]), want_fz,
+                               rtol=0.05)
+    zmp = np.asarray(snap.zmp)
+    com = np.asarray(snap.com_pos)
+    assert abs(zmp[0] - com[0]) < 0.15 and abs(zmp[1] - com[1]) < 0.15
+    assert zmp[2] == 0.0
+
+    # telemetry channels flow to the .mat dict
+    carry = loop.configure(s, {k: np.zeros((30, 3)) for k in
+                               ("positionCoM", "velocityCoM", "RPY",
+                                "RPYDot")}, np.full(600, 0.08))
+    problem, carry = carry
+    carry, tel = loop.rollout_jit()(problem, carry, 3)
+    from ironcub_mpc_tpu.runtime.telemetry import to_mat_dict
+    mat = to_mat_dict(tel)
+    assert mat["robot_on_ground"].all()
+    assert mat["ZMP"].shape == (3, 3)
+    assert mat["sum_external_wrenches"].shape == (3, 6)
+
+    # airborne: no contact
+    s_air = s._replace(base_p=s.base_p + jnp.asarray([0.0, 0.0, 3.0]))
+    snap_air, _ = loop.snapshot(s_air)
+    assert not bool(snap_air.on_ground)
+    np.testing.assert_allclose(np.asarray(snap_air.zmp), 0.0, atol=1e-9)
