@@ -266,3 +266,25 @@ def test_debug_log_mode():
     mat = to_mat_dict(tel)
     assert "debug_ReferenceTrackingCost_xHx_gx" in mat
     assert mat["debug_constraint_Ax"].shape == (MPCConfig().n_constraints,)
+
+
+def test_realtime_driver_smoke(tmp_path):
+    """Native-pacer + telemetry-ring host loop drives the jitted tick and
+    accounts overruns/drops (variable_sampling_mpc.py:106-161 analog)."""
+    import sys
+    sys.path.insert(0, str(ROOT / "examples"))
+    import realtime_driver
+
+    stats = realtime_driver.run(
+        n_ticks=60, period_s=0.05,
+        drain_path=str(tmp_path / "rt.f32"), verbose=False)
+    assert stats["ticks"] == 60
+    assert stats["ring_dropped"] == 0
+    assert stats["drained_records"] == 60
+    # generous period: the loop must hold it on any host
+    assert stats["overruns"] <= 6
+    rec = np.fromfile(tmp_path / "rt.f32", np.float32).reshape(60, -1)
+    assert rec.shape[1] == realtime_driver.RECORD_LEN
+    # status channel: every tick solved
+    assert np.all((rec[:, 1] == admm.SOLVED)
+                  | (rec[:, 1] == admm.SOLVED_INACCURATE))
