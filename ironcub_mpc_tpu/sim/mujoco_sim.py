@@ -33,7 +33,8 @@ class HostMujocoSim:
     def __init__(self, kd: KinDyn, robot_cfg: RobotConfig | None = None,
                  sim_cfg: SimConfig | None = None,
                  lstm: Optional[LSTMJetModel] = None,
-                 mjcf_path: str | None = None):
+                 mjcf_path: str | None = None,
+                 run_visualization: bool = False):
         import mujoco
 
         self._mujoco = mujoco
@@ -74,6 +75,75 @@ class HostMujocoSim:
         self._thrust_cmd = np.full(4, 10.0)
         self.desired_joint_pos = np.zeros(kd.n)
         self._rng = np.random.default_rng(0)
+        self.viewer = None
+        if run_visualization:
+            self.launch_viewer()
+
+    # ------------------------------------------------------------------
+    # passive viewer + thrust visualization
+    # (ironcub_mujoco_simulator.py:116-120, 398-404)
+    # ------------------------------------------------------------------
+
+    def launch_viewer(self) -> bool:
+        """Open the passive viewer; returns False (and keeps running
+        headless) when no display/GL is available. The display check comes
+        first because glfw aborts the process (not an exception) when it
+        cannot open one."""
+        import os
+        import sys
+        import warnings
+
+        headless = (sys.platform.startswith("linux")
+                    and not os.environ.get("DISPLAY")
+                    and not os.environ.get("WAYLAND_DISPLAY"))
+        if headless:
+            warnings.warn("viewer unavailable (no display); running headless")
+            self.viewer = None
+            return False
+        try:
+            import mujoco.viewer
+
+            self.viewer = mujoco.viewer.launch_passive(self.model, self.data)
+            return True
+        except Exception as e:  # no GL platform
+            warnings.warn(f"viewer unavailable ({e}); running headless")
+            self.viewer = None
+            return False
+
+    def _update_thrust_geoms(self, thrust):
+        """Draw one cylinder per jet, scaled by thrust, pointing along the
+        exhaust (+z of the jet site — thrust acts along −z). Mirrors the
+        reference's thrust visualization (sim.py:398-404)."""
+        mujoco = self._mujoco
+        scn = self.viewer.user_scn
+        scn.ngeom = 0
+        for i, name in enumerate(self.robot_cfg.jets_list):
+            sid = self._site_ids[name]
+            R_site = self.data.site_xmat[sid].reshape(3, 3)
+            p = self.data.site_xpos[sid]
+            length = 0.002 * max(float(thrust[i]), 0.0)
+            geom = scn.geoms[scn.ngeom]
+            mujoco.mjv_initGeom(
+                geom, mujoco.mjtGeom.mjGEOM_CYLINDER,
+                np.array([0.01, 0.01, length / 2 + 1e-6]),
+                p + R_site @ np.array([0.0, 0.0, length / 2]),
+                R_site.flatten(), np.array([1.0, 0.45, 0.1, 0.6],
+                                           np.float32))
+            scn.ngeom += 1
+
+    def _viewer_sync(self, thrust):
+        if self.viewer is None:
+            return
+        if not self.viewer.is_running():
+            self.viewer = None
+            return
+        self._update_thrust_geoms(thrust)
+        self.viewer.sync()
+
+    def is_running(self) -> bool:
+        """Driver loop condition (variable_sampling_mpc.py:106): True while
+        the viewer is open, or always when headless."""
+        return self.viewer is None or self.viewer.is_running()
 
     # ------------------------------------------------------------------
     # MujocoSim API parity
@@ -166,6 +236,7 @@ class HostMujocoSim:
             self._apply_thrust_forces(thrust)
             self.data.ctrl[:len(self.desired_joint_pos)] = self.desired_joint_pos
             self._mujoco.mj_step(self.model, self.data)
+            self._viewer_sync(thrust)
 
     # ------------------------------------------------------------------
 

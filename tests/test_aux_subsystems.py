@@ -288,3 +288,48 @@ def test_realtime_driver_smoke(tmp_path):
     # status channel: every tick solved
     assert np.all((rec[:, 1] == admm.SOLVED)
                   | (rec[:, 1] == admm.SOLVED_INACCURATE))
+
+
+def test_visualize_run(tmp_path):
+    """Telemetry .mat -> PNG dashboard renders headless."""
+    import sys
+    sys.path.insert(0, str(ROOT / "examples"))
+    sys.path.insert(0, str(ROOT / "tools"))
+    from closed_loop_demo import standing_state
+    from ironcub_mpc_tpu.runtime.loop import ClosedLoop
+    from ironcub_mpc_tpu.runtime.telemetry import save_mat
+    from ironcub_mpc_tpu.sim.plant import Plant
+    import visualize_run
+
+    model = build_ironcub_model()
+    plant = Plant(KinDyn(model), RobotConfig(),
+                  SimConfig(use_nn_jet_dynamics=False))
+    loop = ClosedLoop(plant, MPCConfig(), admm.ADMMSettings(max_iter=40))
+    s = standing_state(plant, SimConfig().initial_position_deg)
+    channels = {k: np.zeros((30, 3)) for k in
+                ("positionCoM", "velocityCoM", "RPY", "RPYDot")}
+    problem, carry = loop.configure(s, channels, np.full(600, 0.08))
+    carry, tel = loop.rollout_jit()(problem, carry, 5)
+    mat_path = save_mat(tel, str(tmp_path / "run.mat"))
+    import scipy.io
+    mat = scipy.io.loadmat(mat_path, squeeze_me=False)
+    png = visualize_run.render(mat, str(tmp_path / "run.png"))
+    assert (tmp_path / "run.png").stat().st_size > 10_000
+
+
+def test_host_mujoco_viewer_headless_fallback():
+    """run_visualization on a headless host degrades gracefully and
+    is_running() keeps the driver loop alive."""
+    from ironcub_mpc_tpu.sim.mujoco_sim import HostMujocoSim
+
+    model = build_ironcub_model()
+    kd = KinDyn(model)
+    with pytest.warns(UserWarning, match="viewer unavailable"):
+        sim = HostMujocoSim(kd, RobotConfig(),
+                            SimConfig(use_nn_jet_dynamics=False),
+                            run_visualization=True)
+    assert sim.viewer is None
+    assert sim.is_running()
+    sim.set_state(np.eye(3), np.array([0.0, 0.0, 1.0]),
+                  np.radians(SimConfig().initial_position_deg))
+    sim.step(3)  # viewer_sync no-ops headless

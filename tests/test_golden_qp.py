@@ -71,7 +71,7 @@ def _snapshot(d):
         total_mass=jnp.asarray(d["total_mass"], jnp.float32),
         momentum_body=f32(d["momentum_body"]),
         inertia_locked=f32(d["inertia_locked"]),
-        amom_jets_body=jnp.zeros((6, 4), jnp.float32),  # derived by blocks? no: recomputed below
+        amom_jets_body=jnp.zeros((6, 4), jnp.float32),  # set by _linearized
         jet_axes_world=f32(d["jet_axes_world"]),
         jet_arms_world=f32(d["jet_arms_world"]),
         jac_jets_lin_joints=f32(d["jac_jets_lin_joints"]),
@@ -199,3 +199,54 @@ def test_condensed_qp_matches_golden(k, d, ocfg, out):
     _close(qp.q, out["qc"], 5e-5, "qc")
     _close(qp.lb, out["lbc"], 1e-6, "lbc")
     _close(qp.ub, out["ubc"], 1e-6, "ubc")
+
+
+@pytest.mark.parametrize("k,d,ocfg,out", _cases(),
+                         ids=lambda v: f"case{v}" if isinstance(v, int) else "")
+def test_solver_kkt_certificate(k, d, ocfg, out):
+    """Command-fidelity proxy (BASELINE north star): solve the condensed QP
+    and certify OPTIMALITY in float64 against the oracle matrices — KKT
+    stationarity, primal feasibility and complementary slackness. Any
+    solver that satisfies these on the same QP produces the same commands,
+    so this pins our command sequence to the reference's QP solution
+    without needing the reference binary."""
+    from ironcub_mpc_tpu.ops import admm
+
+    cfg = _mpc_config(d, ocfg)
+    Hc = out["Hc"]
+    qc = out["qc"]
+    lbc, ubc = out["lbc"], out["ubc"]
+    nU = Hc.shape[0]
+    n_box = lbc.shape[0]
+    box0 = nU - n_box
+
+    qp = condensed.CondensedQP(
+        H=jnp.asarray(Hc, jnp.float32), q=jnp.asarray(qc, jnp.float32),
+        lb=jnp.asarray(lbc, jnp.float32), ub=jnp.asarray(ubc, jnp.float32),
+        F=jnp.asarray(out["F"], jnp.float32),
+        f=jnp.asarray(out["f"], jnp.float32))
+    settings = admm.ADMMSettings(max_iter=250, rho_update_iters=(25, 75, 150),
+                                 pallas_mode="off")
+    sol = condensed.solve(cfg, qp, settings)
+    assert int(sol.status) in (admm.SOLVED, admm.SOLVED_INACCURATE)
+
+    u = np.asarray(sol.u, np.float64)
+    y = np.asarray(sol.y, np.float64)
+    # KKT in float64 with the ORACLE H, q (independent of our assembly):
+    # stationarity: H u + q + Sᵀ y = 0
+    grad = Hc @ u + qc
+    grad[box0:] += y
+    g_scale = max(np.abs(qc).max(), 1.0)
+    assert np.abs(grad).max() / g_scale < 2e-4, np.abs(grad).max() / g_scale
+    # primal feasibility on the box
+    ub_viol = (u[box0:] - ubc).max()
+    lb_viol = (lbc - u[box0:]).max()
+    assert max(ub_viol, lb_viol) < 1e-4, (lb_viol, ub_viol)
+    # complementary slackness: y⁺(ub−z)=0, y⁻(z−lb)=0 (skip equality rows)
+    z = np.clip(u[box0:], lbc, ubc)
+    ineq = (ubc - lbc) > 1e-9
+    comp_hi = np.abs(np.maximum(y, 0.0) * (ubc - z))[ineq].max() if \
+        ineq.any() else 0.0
+    comp_lo = np.abs(np.minimum(y, 0.0) * (z - lbc))[ineq].max() if \
+        ineq.any() else 0.0
+    assert max(comp_hi, comp_lo) < 2e-3, (comp_hi, comp_lo)
