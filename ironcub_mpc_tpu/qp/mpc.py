@@ -374,6 +374,36 @@ def _tick_prep(cfg, joint_sel, problem: MPCProblem, carry: MPCCarry,
     return carry, TickPrep(state_ref=state_ref, lin=lin, x0=x0, pin=pin)
 
 
+def condense_from_prep(cfg: MPCConfig, sched, joint_sel,
+                       problem: MPCProblem, carry: MPCCarry, prep: TickPrep):
+    """Stage 2 of the condensed tick: per-tick gradients + exact state
+    elimination. Split out so the pipeline-parallel runner
+    (parallel/pp_pipeline.py) can run it as its own stage."""
+    sel = jnp.asarray(joint_sel)
+    q_diag = jnp.diagonal(problem.Q)
+    joint_reg_grad = cfg.weight_regularization_joint_pos * (
+        carry.joints_pos_ref[sel] - problem.joint_pos_ref_ctrl)
+    throttle_init_grad = (-cfg.weight_initial_throttle
+                          * jm.throttle_to_v(carry.throttle_cmd))
+    qp = condensed.condense(
+        cfg, sched, prep.lin, prep.x0, prep.state_ref, q_diag,
+        problem.H_u, joint_reg_grad, throttle_init_grad, prep.pin,
+        carry.throttle_cmd, joint_pos_ctrl=carry.joints_pos_ref[sel])
+    return qp, q_diag, joint_reg_grad, throttle_init_grad
+
+
+def solve_condensed(cfg: MPCConfig, settings: admm.ADMMSettings,
+                    problem: MPCProblem, carry: MPCCarry,
+                    qp: condensed.CondensedQP) -> condensed.CondensedSolution:
+    """Stage 3 of the condensed tick: the warm-started box-QP solve."""
+    return condensed.solve(
+        cfg, qp, settings, warm_u=carry.warm_x, warm_y=carry.warm_y,
+        scaling=problem.cond_scaling,
+        kinv_prev=carry.kinv if settings.kinv_carry else None,
+        rho_prev=carry.rho_vec if settings.kinv_carry else None,
+        rho_scalar_prev=(carry.rho_scalar if settings.kinv_carry else None))
+
+
 def _assemble(cfg, sched, joint_sel, problem: MPCProblem, carry: MPCCarry,
               snap: RobotSnapshot, est_thrust_dot):
     """Full-space gradient + constraint stack for the current tick."""
@@ -406,22 +436,9 @@ def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
     if cfg.qp_solver == "condensed":
         carry, prep = _tick_prep(cfg, joint_sel, problem, carry, snap,
                                  est_thrust_dot)
-        q_diag = jnp.diagonal(problem.Q)
-        joint_reg_grad = cfg.weight_regularization_joint_pos * (
-            carry.joints_pos_ref[sel] - problem.joint_pos_ref_ctrl)
-        throttle_init_grad = (-cfg.weight_initial_throttle
-                              * jm.throttle_to_v(carry.throttle_cmd))
-        qp = condensed.condense(
-            cfg, sched, prep.lin, prep.x0, prep.state_ref, q_diag,
-            problem.H_u, joint_reg_grad, throttle_init_grad, prep.pin,
-            carry.throttle_cmd, joint_pos_ctrl=carry.joints_pos_ref[sel])
-        csol = condensed.solve(
-            cfg, qp, settings, warm_u=carry.warm_x, warm_y=carry.warm_y,
-            scaling=problem.cond_scaling,
-            kinv_prev=carry.kinv if settings.kinv_carry else None,
-            rho_prev=carry.rho_vec if settings.kinv_carry else None,
-            rho_scalar_prev=(carry.rho_scalar if settings.kinv_carry
-                             else None))
+        qp, q_diag, joint_reg_grad, throttle_init_grad = condense_from_prep(
+            cfg, sched, joint_sel, problem, carry, prep)
+        csol = solve_condensed(cfg, settings, problem, carry, qp)
         if settings.kinv_carry:
             carry = carry._replace(kinv=csol.kinv, rho_vec=csol.rho_vec,
                                    rho_scalar=csol.rho_scalar)
@@ -462,6 +479,17 @@ def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
         else:
             debug = None
 
+    return _finish_tick(cfg, sel, carry, delta_joints, throttle_v,
+                        thrust_des, thrust_dot_des, final_state, status,
+                        pri_res, dua_res, warm_x, warm_y, debug)
+
+
+def _finish_tick(cfg, sel, carry: MPCCarry, delta_joints, throttle_v,
+                 thrust_des, thrust_dot_des, final_state, status, pri_res,
+                 dua_res, warm_x, warm_y, debug):
+    """Command integration + output assembly (variableSamplingMPC.cpp:88-112:
+    joint deltas integrate into the absolute reference, throttle
+    destandardizes; non-solved ticks keep the previous commands)."""
     solved = status == admm.SOLVED
     joints_new = carry.joints_pos_ref.at[sel].add(delta_joints)
     throttle_new = jm.destandardize_throttle(throttle_v)
@@ -489,3 +517,23 @@ def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
         debug=debug,
     )
     return carry, out
+
+
+def extract_condensed(cfg: MPCConfig, joint_sel, carry: MPCCarry,
+                      csol: condensed.CondensedSolution,
+                      settings: admm.ADMMSettings):
+    """Stage 4 of the condensed tick: solution slicing + command
+    integration (the mpc_tick tail, for the pipeline-parallel runner)."""
+    nj, nt = cfg.n_ctrl_joints, cfg.n_jets
+    sel = jnp.asarray(joint_sel)
+    if settings.kinv_carry:
+        carry = carry._replace(kinv=csol.kinv, rho_vec=csol.rho_vec,
+                               rho_scalar=csol.rho_scalar)
+    delta_joints = csol.u[:nj]
+    throttle_v = csol.u[nj * cfg.control_horizon:
+                        nj * cfg.control_horizon + nt]
+    return _finish_tick(
+        cfg, sel, carry, delta_joints, throttle_v,
+        csol.states[0, C.THRUST], csol.states[0, C.THRUST_DOT],
+        csol.states[-1], csol.status, csol.pri_res, csol.dua_res,
+        csol.u, csol.y, None)
