@@ -73,6 +73,12 @@ class ADMMSettings:
     # fused Pallas kernels for the ADMM segment + Woodbury refresh
     # (ops/pallas_solve.py): "auto" = on TPU backends, "on" = always
     # (interpret mode off-TPU; for tests), "off" = pure-JAX path.
+    # Measured on v5e (tools/profile_solve_parts.py): the Pallas kernels
+    # (K⁻¹ resident in VMEM, one dispatch per segment) win the LATENCY
+    # path (batch-1 sequential tick 0.40 vs 0.47 ms); the pure-JAX path
+    # (batched GEMMs across scenarios) wins THROUGHPUT at batch 512
+    # (42.1k vs 24.5k solves/s). Set "off" explicitly for large batched
+    # sweeps; "auto" suits the single-robot real-time loop.
     pallas_mode: str = "auto"
 
 
