@@ -9,6 +9,11 @@ with ``psum``/``pmax`` over ICI, so only scalars leave the device.
 Failure handling (SURVEY §5): per-scenario solver-status vectors and NaN
 guards classify diverged rollouts; they are masked out of the statistics and
 reported, never allowed to poison the reduction.
+
+Performance note: sweeps are batched, so construct the ``ClosedLoop`` with
+``ADMMSettings(pallas_mode="off")`` — the batched-GEMM solver path wins
+throughput at large batch (42.1k vs 24.5k solves/s at 512 on v5e); the
+fused Pallas kernels are the batch-1 latency path.
 """
 
 from __future__ import annotations
