@@ -43,7 +43,7 @@ from ironcub_mpc_tpu.ops import admm
 from ironcub_mpc_tpu.runtime.native import RealtimePacer, TelemetryRing, available
 from ironcub_mpc_tpu.qp import mpc as vs_mpc
 
-RECORD_LEN = 16  # [tick, status, pri, dua, solve_ms, thr*4, T_des*4, spare*3]
+RECORD_LEN = 16  # [tick, status, pri, dua, thr*4, T_des*4, solve_ms, spare*3]
 
 
 def run(n_ticks: int = 1000, period_s: float = 0.005,

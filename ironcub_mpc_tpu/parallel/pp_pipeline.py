@@ -75,11 +75,21 @@ def _zero_payload(cfg: MPCConfig, carry, snap, est, dtype=jnp.float32):
         status=jnp.zeros((), jnp.int32), pri_res=z(), dua_res=z(),
         kinv=z(nU, nU), rho_vec=z(nb), rho_scalar=z())
     J = snap.joint_pos.shape[-1]
+    if cfg.enable_debug_log_mode:
+        from ..core.types import DebugInfo
+
+        m = cfg.n_constraints
+        debug = DebugInfo(total_cost=z(), block_costs=z(4),
+                          constraint_lb=z(m), constraint_ax=z(m),
+                          constraint_ub=z(m))
+    else:
+        debug = None
     out = MPCOutput(
         joints_pos_ref=z(J), throttle=z(4), thrust_des=z(4),
         thrust_dot_des=z(4), final_state=z(ns),
         status=jnp.zeros((), jnp.int32), pri_res=z(), dua_res=z(),
-        alpha_gravity=z(), pos_com_ref=z(3), rpy_ref=z(3), mom_ref=z(6))
+        alpha_gravity=z(), pos_com_ref=z(3), rpy_ref=z(3), mom_ref=z(6),
+        debug=debug)
     return _Payload(carry=carry, snap=snap, est=est, state_ref=z(ns, ni),
                     lin=lin, x0=z(ns), pin=jnp.zeros((), bool), qp=qp,
                     csol=csol, out=out)
@@ -111,8 +121,11 @@ def _stages(cfg: MPCConfig, sched, joint_sel, settings, problem):
         csol = p.csol
         if not settings.kinv_carry:
             csol = csol._replace(kinv=None, rho_vec=None, rho_scalar=None)
-        carry, out = vs_mpc.extract_condensed(cfg, joint_sel, p.carry, csol,
-                                              settings)
+        prep = vs_mpc.TickPrep(state_ref=p.state_ref, lin=p.lin, x0=p.x0,
+                               pin=p.pin)
+        carry, out = vs_mpc.extract_condensed(
+            cfg, joint_sel, p.carry, csol, settings, problem=problem,
+            sched=sched, prep=prep, qp=p.qp)
         return p._replace(carry=carry, out=out)
 
     return [s0_prep, s1_condense, s2_solve, s3_extract]

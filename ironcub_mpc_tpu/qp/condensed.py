@@ -208,7 +208,7 @@ def condense(cfg: MPCConfig, sched: HorizonSchedule, lin: LinearizedDynamics,
             F_all = B_cum[:, :, :nU]                   # [nIter, 26, nU]
             f_all = (jnp.einsum("kab,b->ka", A_cum, x0)
                      + B_cum[:, :, nU])                # [nIter, 26]
-        else:                                          # "sequential"
+        elif cfg.condense_mode == "sequential":
             Fs, fs = [], []
             F = jnp.zeros((ns, nU), dt_)
             f = x0
@@ -226,6 +226,10 @@ def condense(cfg: MPCConfig, sched: HorizonSchedule, lin: LinearizedDynamics,
                 fs.append(f)
             F_all = jnp.stack(Fs)                      # [nIter, 26, nU]
             f_all = jnp.stack(fs)                      # [nIter, 26]
+        else:
+            raise ValueError(
+                f"unknown condense_mode {cfg.condense_mode!r}; "
+                "expected 'assoc' or 'sequential'")
         r = state_reference.T                      # [nIter, 26]
         # contract only over weighted states (thrust/thrustDot rows carry no
         # tracking cost — 18 of 26 rows for the stock weights): static

@@ -521,11 +521,29 @@ def _finish_tick(cfg, sel, carry: MPCCarry, delta_joints, throttle_v,
 
 def extract_condensed(cfg: MPCConfig, joint_sel, carry: MPCCarry,
                       csol: condensed.CondensedSolution,
-                      settings: admm.ADMMSettings):
+                      settings: admm.ADMMSettings,
+                      problem: MPCProblem = None,
+                      sched: HorizonSchedule = None, prep: "TickPrep" = None,
+                      qp: condensed.CondensedQP = None):
     """Stage 4 of the condensed tick: solution slicing + command
-    integration (the mpc_tick tail, for the pipeline-parallel runner)."""
+    integration (the mpc_tick tail, for the pipeline-parallel runner).
+
+    When ``enable_debug_log_mode`` is on, pass ``problem``/``sched``/
+    ``prep``/``qp`` so the per-block DebugInfo is emitted exactly like the
+    monolithic tick; otherwise ``out.debug`` is None."""
     nj, nt = cfg.n_ctrl_joints, cfg.n_jets
     sel = jnp.asarray(joint_sel)
+    debug = None
+    if cfg.enable_debug_log_mode and qp is not None:
+        # same gradient formulas as condense_from_prep, evaluated on the
+        # pre-update carry (the state the QP was assembled from)
+        joint_reg_grad = cfg.weight_regularization_joint_pos * (
+            carry.joints_pos_ref[sel] - problem.joint_pos_ref_ctrl)
+        throttle_init_grad = (-cfg.weight_initial_throttle
+                              * jm.throttle_to_v(carry.throttle_cmd))
+        debug = _debug_condensed(cfg, sched, prep, qp, csol,
+                                 jnp.diagonal(problem.Q), joint_reg_grad,
+                                 throttle_init_grad)
     if settings.kinv_carry:
         carry = carry._replace(kinv=csol.kinv, rho_vec=csol.rho_vec,
                                rho_scalar=csol.rho_scalar)
@@ -536,4 +554,4 @@ def extract_condensed(cfg: MPCConfig, joint_sel, carry: MPCCarry,
         cfg, sel, carry, delta_joints, throttle_v,
         csol.states[0, C.THRUST], csol.states[0, C.THRUST_DOT],
         csol.states[-1], csol.status, csol.pri_res, csol.dua_res,
-        csol.u, csol.y, None)
+        csol.u, csol.y, debug)

@@ -95,7 +95,10 @@ class ClosedLoop:
         fed to the kinodynamics, as in the reference; the low-pass is
         telemetry-only — ironcub_mujoco_simulator.py:327-346). Sole contact
         wrenches feed the snapshot's ZMP/ground-contact aggregation
-        (Robot.cpp:280-322)."""
+        (Robot.cpp:280-322). ``sole_wrenches`` re-derives FK/Jacobians that
+        ``compute_snapshot`` also builds; both are pure functions of the
+        same state, so XLA CSE dedupes them inside any jitted caller (the
+        rollout/tick paths) — only eager calls pay twice."""
         lin, ang, s = self.plant.measured_base_velocity(s)
         base_vel = jnp.concatenate([lin, ang])
         snap = compute_snapshot(

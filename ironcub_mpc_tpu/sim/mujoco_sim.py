@@ -76,6 +76,7 @@ class HostMujocoSim:
         self.desired_joint_pos = np.zeros(kd.n)
         self._rng = np.random.default_rng(0)
         self.viewer = None
+        self._viewer_closed = False
         if run_visualization:
             self.launch_viewer()
 
@@ -135,14 +136,20 @@ class HostMujocoSim:
         if self.viewer is None:
             return
         if not self.viewer.is_running():
+            # user closed the window: remember, so is_running() turns False
+            # instead of reading None as "headless, run forever"
             self.viewer = None
+            self._viewer_closed = True
             return
         self._update_thrust_geoms(thrust)
         self.viewer.sync()
 
     def is_running(self) -> bool:
         """Driver loop condition (variable_sampling_mpc.py:106): True while
-        the viewer is open, or always when headless."""
+        the viewer is open (or was never opened — headless); False once the
+        user closes the viewer window."""
+        if self._viewer_closed:
+            return False
         return self.viewer is None or self.viewer.is_running()
 
     # ------------------------------------------------------------------

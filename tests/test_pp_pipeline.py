@@ -55,3 +55,34 @@ def test_pipeline_matches_vmapped_tick():
     for field in ("joints_pos_ref", "throttle_cmd", "warm_x",
                   "throttle_counter", "pos_traj_idx"):
         close(getattr(pp_c, field), getattr(ref_c, field), field)
+
+
+def test_pipeline_emits_debug_info():
+    """enable_debug_log_mode flows through the pipelined tick like the
+    monolithic one (same DebugInfo channels, same values)."""
+    import dataclasses
+
+    from ironcub_mpc_tpu.core.config import MPCConfig
+
+    settings = admm.ADMMSettings(max_iter=30, rho_update_iters=(12,),
+                                 pallas_mode="off")
+    cfg = dataclasses.replace(MPCConfig(), enable_debug_log_mode=True)
+    cfg, sched, sel, settings, problem, carry, snap, _ = ge._setup(
+        cfg=cfg, settings=settings)
+    batch = 4
+    carries, snaps, est = _batched_inputs(cfg, carry, snap, batch)
+
+    _, ref_o = jax.jit(jax.vmap(
+        lambda c, s, e: vs_mpc.mpc_tick(cfg, sched, sel, settings, problem,
+                                        c, s, e)))(carries, snaps, est)
+
+    mesh = Mesh(np.asarray(jax.devices()[:N_STAGES]), ("pipe",))
+    _, pp_o = pipeline_tick(cfg, sched, sel, settings, problem,
+                            carries, snaps, est, mesh)
+    assert pp_o.debug is not None
+    np.testing.assert_allclose(np.asarray(pp_o.debug.block_costs),
+                               np.asarray(ref_o.debug.block_costs),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(pp_o.debug.constraint_ub),
+                               np.asarray(ref_o.debug.constraint_ub),
+                               atol=1e-6)
