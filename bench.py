@@ -129,6 +129,10 @@ def main():
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 5000.0, 3),
+        # secondary metrics (same JSON line; BASELINE's latency contract)
+        "single_solve_p50_ms": round(p50_ms, 3),
+        "deadline_ms": 5.0,
+        "solved_frac": round(solved, 4),
     }
     print(json.dumps(result))
     print(f"# device={jax.devices()[0].platform} batch={batch} iters={iters} "

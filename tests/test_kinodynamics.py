@@ -191,3 +191,34 @@ def test_snapshot_upright_jets_push_up():
         jnp.zeros(MODEL.n_joints), jnp.zeros(MODEL.n_joints), jnp.full(4, 10.0))
     axes = np.asarray(snap.jet_axes_world)
     assert np.all(axes[:, 2] > 0.9), axes
+
+
+def test_locked_inertia_matches_reference_adjoint_formula(ours):
+    """snap.inertia_locked (computed as Rᵀ I_G R) must equal the reference's
+    literal derivation (systemDynamicsVSMPC.cpp:110-130): the [3:6,3:6]
+    block of Adj(G_H_B)ᵀ · M_base · Adj(G_H_B) with G_H_B = (R_base,
+    com − base_pos) and M_base the 6x6 base block of the mixed-representation
+    free-floating mass matrix. (The two are analytically identical; this
+    pins both code paths to the contract numerically.)"""
+    ls, J, I_sp, c_w = ours
+    M = np.asarray(KD.mass_matrix(J, I_sp), np.float64)
+    snap = compute_snapshot(
+        KD, JETS, jnp.asarray(BASE_R, jnp.float32),
+        jnp.asarray(BASE_P, jnp.float32), jnp.asarray(BASE_V, jnp.float32),
+        jnp.asarray(Q0, jnp.float32), jnp.asarray(QD0, jnp.float32),
+        jnp.zeros(4, jnp.float32))
+
+    def skew(v):
+        return np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]],
+                         [-v[1], v[0], 0.0]])
+
+    r = np.asarray(snap.com_pos, np.float64) - BASE_P
+    R = np.asarray(BASE_R, np.float64)
+    adj = np.zeros((6, 6))
+    adj[0:3, 0:3] = R
+    adj[0:3, 3:6] = skew(r) @ R
+    adj[3:6, 3:6] = R
+    I_ref = (adj.T @ M[:6, :6] @ adj)[3:6, 3:6]
+    I_ours = np.asarray(snap.inertia_locked, np.float64)
+    scale = np.abs(I_ref).max()
+    assert np.abs(I_ours - I_ref).max() / scale < 5e-5, (I_ours, I_ref)
