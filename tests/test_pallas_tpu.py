@@ -27,6 +27,11 @@ if jax.default_backend() != "tpu":
     print("NO_TPU")
     sys.exit(0)
 
+# remote Mosaic compiles through the tunnel can be slow; cache them so
+# repeat runs are instant
+jax.config.update("jax_compilation_cache_dir", "@ROOT@/.jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 sys.path.insert(0, "@ROOT@")
 from ironcub_mpc_tpu.ops import pallas_solve as ps
 
@@ -79,7 +84,8 @@ def test_kernels_lower_on_tpu():
         f for f in flags.split() if "host_platform_device_count" not in f)
     proc = subprocess.run(
         [sys.executable, "-c", _SCRIPT.replace("@ROOT@", str(ROOT))],
-        capture_output=True, text=True, timeout=540, env=env, cwd=str(ROOT))
+        capture_output=True, text=True, timeout=1200, env=env,
+        cwd=str(ROOT))
     out = proc.stdout.strip().splitlines()
     if proc.returncode == 0 and out and out[-1] == "NO_TPU":
         pytest.skip("no TPU attached")
