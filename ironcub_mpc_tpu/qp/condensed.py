@@ -338,6 +338,12 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
         eq = (ub - lb) < settings.eq_tol
         rho_scalar0 = (jnp.asarray(settings.rho, dt_)
                        if rho_scalar_prev is None else rho_scalar_prev)
+        # a non-solved tick may carry non-finite solver state; never let it
+        # poison the next 5 ms tick (the reference gets this for free by
+        # re-setup, variableSamplingMPC.cpp:91)
+        rho_scalar0 = jnp.where(
+            jnp.isfinite(rho_scalar0) & (rho_scalar0 > 0),
+            rho_scalar0, jnp.asarray(settings.rho, dt_))
         rho0 = jnp.where(eq, rho_scalar0 * settings.rho_eq_scale, rho_scalar0)
 
         def factor(rho_vec):
@@ -382,6 +388,10 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
 
         x = jnp.zeros((nU,), dt_) if warm_u is None else warm_u / D
         y = jnp.zeros((n_box,), dt_) if warm_y is None else warm_y * c_s / E
+        # warm starts come from the previous tick's iterate even on
+        # non-solved ticks — sanitize so one failed solve cannot cascade
+        x = jnp.where(jnp.isfinite(x), x, 0.0)
+        y = jnp.where(jnp.isfinite(y), y, 0.0)
         z = jnp.clip(x[box0:], lb, ub)
 
         def run_segment(Kinv, rho_vec, x, z, y, length):
@@ -476,7 +486,24 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             # the ρ pattern change (pin toggle / carried adaptive ρ) and NS
             # polish against K built from the *current* H — one pass absorbs
             # both the ρ jump and the 5 ms relinearisation drift.
-            Kinv = woodbury_k(lift(kinv_prev), rho_prev, rho_vec)
+            kp = jnp.where(jnp.isfinite(kinv_prev), kinv_prev, 0.0)
+            rp = jnp.where(jnp.isfinite(rho_prev) & (rho_prev > 0),
+                           rho_prev, rho_vec)
+            Kinv = woodbury_k(lift(kp), rp, rho_vec)
+            # Newton–Schulz only contracts from ‖I − K·X‖ < 1: a large
+            # inter-tick state jump (gust, contact, reset) can push the
+            # carried inverse outside the basin and the refresh diverges.
+            # Verify the inverse residual and re-factorise on failure —
+            # lax.cond, so the real-time batch-1 path pays the Cholesky
+            # only on the (rare) bad tick.
+            K_chk = H + settings.sigma * jnp.eye(nU, dtype=dt_)
+            K_chk = K_chk.at[jnp.arange(box0, nU),
+                             jnp.arange(box0, nU)].add(rho_vec)
+            resid = jnp.max(jnp.abs(
+                jnp.eye(nU, dtype=dt_) - K_chk @ lower(Kinv)))
+            bad = ~jnp.isfinite(resid) | (resid > 0.1)
+            Kinv = jax.lax.cond(
+                bad, lambda _: lift(factor(rho_vec)), lambda k: k, Kinv)
         for si in range(len(bounds) - 1):
             x, z, y = run_segment_k(Kinv, rho_vec, x, z, y,
                                     bounds[si + 1] - bounds[si])

@@ -407,3 +407,210 @@ def assemble(d: dict, cfg: dict) -> dict:
     return dict(H=H, g=g, A=A, lb=lb, ub=ub, Ac=Ac, BJ=BJ, BT=BT, c=cvec,
                 x0=x0, state_ref=state_ref, Hc=Hc, qc=qc, lbc=lbc, ubc=ubc,
                 F=F, f=f)
+
+
+# ---------------------------------------------------------------------------
+# closed-loop oracle: exact box-QP solve + multi-tick orchestration
+# ---------------------------------------------------------------------------
+
+
+def _destd_throttle(v):
+    """Invert v(ū)=ū+c₁₂ū², destandardize, clamp (JetModel.cpp:93-109)."""
+    us = (-1.0 + np.sqrt(1.0 + 4.0 * CF[12] * v)) / (2.0 * CF[12])
+    return np.clip(us * NORM_U_STD + NORM_U_MEAN, 0.0, 100.0)
+
+
+def solve_box_qp(H, q, lb, ub, n_free, tol=1e-11, max_pivots=500):
+    """Exact minimizer of ½uᵀHu + qᵀu s.t. lb ≤ u[n_free:] ≤ ub.
+
+    Primal-dual active-set in float64 (single worst-violator pivot per
+    iteration); deliberately a *different algorithm* from the library's ADMM
+    so solver-specific artifacts cannot cancel. Rows with lb==ub are pinned
+    equalities, never released. H must be positive definite on the free set.
+    """
+    n = H.shape[0]
+    nb = n - n_free
+    lb = np.asarray(lb, np.float64)
+    ub = np.asarray(ub, np.float64)
+    eq = np.abs(ub - lb) <= 1e-12
+    active = np.zeros(nb, dtype=int)           # -1 at lb, 0 free, +1 at ub
+    active[eq] = -1
+    for _ in range(max_pivots):
+        fix = active != 0
+        idx_fix = np.nonzero(fix)[0] + n_free
+        idx_free = np.setdiff1d(np.arange(n), idx_fix)
+        u = np.zeros(n)
+        u[idx_fix] = np.where(active[fix] == -1, lb[fix], ub[fix])
+        rhs = -(q[idx_free] + H[np.ix_(idx_free, idx_fix)] @ u[idx_fix])
+        u[idx_free] = np.linalg.solve(H[np.ix_(idx_free, idx_free)], rhs)
+        grad = H @ u + q
+        bv, gb = u[n_free:], grad[n_free:]
+        viol_lo = (active == 0) & (bv < lb - tol)
+        viol_hi = (active == 0) & (bv > ub + tol)
+        # KKT: fixed at lb needs grad ≥ 0, fixed at ub needs grad ≤ 0
+        rel_lo = (active == -1) & ~eq & (gb < -tol)
+        rel_hi = (active == +1) & ~eq & (gb > tol)
+        score = np.zeros(nb)
+        score[viol_lo] = lb[viol_lo] - bv[viol_lo]
+        score[viol_hi] = bv[viol_hi] - ub[viol_hi]
+        score[rel_lo] = -gb[rel_lo]
+        score[rel_hi] = gb[rel_hi]
+        if score.max(initial=0.0) <= 0.0:
+            return u
+        k = int(np.argmax(score))
+        active[k] = -1 if viol_lo[k] else (+1 if viol_hi[k] else 0)
+    raise RuntimeError("solve_box_qp: active set did not converge")
+
+
+class OracleMPC:
+    """Independent float64 closed-loop MPC: the full multi-tick orchestration
+    (reference-window shifts, multi-rate counters, RPY unwrap, alphaGravity
+    cursor, command integration) in plain NumPy, solving each tick's
+    condensed QP *exactly* with an active-set method.
+
+    Mirrors IMPCProblem::configure/update/solve + VariableSamplingMPC::
+    solveMPC sequencing (IMPCProblem.cpp:150-298, costsVSMPC.cpp:121-165,
+    constraintsVSMPC.cpp:206-247,338-374, variableSamplingMPC.cpp:88-112)
+    without sharing any code with ironcub_mpc_tpu — the oracle for the
+    BASELINE command-sequence-fidelity north star.
+    """
+
+    def __init__(self, ocfg, sd0, joint_sel, traj, alpha_traj,
+                 initial_throttle, lambda_option="unfiltered",
+                 use_jet_dynamic=True, use_estimated_thrust=True,
+                 ratio=None):
+        self.ocfg = dict(ocfg)
+        self.lambda_option = lambda_option
+        self.use_jet_dynamic = use_jet_dynamic
+        self.use_estimated_thrust = use_estimated_thrust
+        self.sel = np.asarray(joint_sel, np.int64)
+        self.ratio = ratio if ratio is not None else int(
+            round(ocfg["dt_large"] / ocfg["dt_small"]))
+        ni, nsm = ocfg["n_iter"], ocfg["n_iter_small"]
+        self.n_ref = ni - nsm + 1
+        self.traj = {k: np.asarray(v, np.float64) for k, v in traj.items()}
+        self.alpha_traj = np.asarray(alpha_traj, np.float64)
+
+        # configure-time constants (mpc.configure / LambdaInit)
+        self.init = dict(
+            init_rel_jac_lin=sd0["rel_jac_lin"],
+            init_rel_jac_ang=sd0["rel_jac_ang"],
+            init_jet_axes_world=sd0["jet_axes_world"],
+            init_jet_arms_world=sd0["jet_arms_world"],
+        )
+        rpy0 = _rpy_from_matrix(sd0["w_R_b"])
+        self.rpy_init = rpy0
+        self.com_pos_init = sd0["com_pos"].copy()
+        self.joint_pos_ref_ctrl = sd0["joint_pos"][self.sel].copy()
+
+        # carry (MPCCarry equivalent), counters saturated pre-configure
+        self.rpy_old = rpy0.copy()
+        self.n_turns = np.zeros(3)
+        self.ref_counter = self.ratio - 1
+        self.throttle_counter = self.ratio - 1
+        p0, l0, r0, a0 = self._window_column(sd0, 0)
+        self.win_pos = np.tile(p0[:, None], (1, self.n_ref))
+        self.win_lin = np.tile(l0[:, None], (1, self.n_ref))
+        self.win_rpy = np.tile(r0[:, None], (1, self.n_ref))
+        self.win_ang = np.tile(a0[:, None], (1, self.n_ref))
+        self.pos_ref_now, self.rpy_ref_now = p0.copy(), r0.copy()
+        self.pos_traj_idx = 0
+        self.alpha_idx = 0
+        self.thrust_des = sd0["jet_thrusts"].copy()
+        self.thrust_dot_des = np.zeros(4)
+        self.throttle_cmd = np.asarray(initial_throttle, np.float64).copy()
+        self.joints_pos_ref = sd0["joint_pos"].copy()
+
+        # replicate configure's first compute (advances window + alpha once)
+        self._prep(sd0, np.zeros(4))
+
+    # -- reference window (costsVSMPC.cpp:103-165,266-286) ------------------
+    def _window_column(self, sd, idx):
+        i = min(max(idx, 0), self.traj["positionCoM"].shape[0] - 1)
+        R, m = sd["w_R_b"], sd["total_mass"]
+        p = self.com_pos_init + self.traj["positionCoM"][i]
+        lin = R.T @ (m * self.traj["velocityCoM"][i])
+        rpy_col = self.rpy_init + self.traj["RPY"][i]
+        W = _w_matrix(_rpy_from_matrix(R))
+        ang = sd["inertia_locked"] @ (W @ self.traj["RPYDot"][i])
+        return p, lin, rpy_col, ang
+
+    def _prep(self, sd, est_thrust_dot):
+        """One IMPCProblem::update — returns the assembly dict (or None when
+        called from configure, where the QP itself is discarded)."""
+        # reference shift
+        if self.ref_counter == self.ratio - 1:
+            idx_next = min(self.pos_traj_idx + 1,
+                           self.traj["positionCoM"].shape[0] - 1)
+            p, lin, rpy_col, ang = self._window_column(sd, idx_next)
+            shift = lambda w, c: np.concatenate([w[:, 1:], c[:, None]], 1)
+            self.win_pos = shift(self.win_pos, p)
+            self.win_lin = shift(self.win_lin, lin)
+            self.win_rpy = shift(self.win_rpy, rpy_col)
+            self.win_ang = shift(self.win_ang, ang)
+            self.pos_ref_now = self.win_pos[:, 0].copy()
+            self.rpy_ref_now = self.win_rpy[:, 0].copy()
+            self.pos_traj_idx = idx_next
+            self.ref_counter = 0
+        else:
+            self.ref_counter += 1
+
+        # alphaGravity read-then-advance
+        alpha = self.alpha_traj[self.alpha_idx]
+        self.alpha_idx = min(self.alpha_idx + 1, len(self.alpha_traj) - 1)
+
+        # RPY unwrap (constraintsVSMPC.cpp:232-247)
+        rpy_raw = _rpy_from_matrix(sd["w_R_b"])
+        diff = rpy_raw - self.rpy_old
+        self.n_turns = self.n_turns - (diff > np.pi) + (diff < -np.pi)
+        rpy_unwrapped = rpy_raw + 2.0 * np.pi * self.n_turns
+        self.rpy_old = rpy_raw
+
+        # throttle pin (constraintsVSMPC.cpp:338-374)
+        pin = self.throttle_counter != self.ratio - 1
+        self.throttle_counter = (0 if self.throttle_counter == self.ratio - 1
+                                 else self.throttle_counter + 1)
+
+        d = dict(sd)
+        d.update(self.init)
+        d.update(
+            rpy_init=self.rpy_init,
+            joint_pos_ref_ctrl=self.joint_pos_ref_ctrl,
+            joint_sel=self.sel,
+            win_pos=self.win_pos, win_lin=self.win_lin,
+            win_rpy=self.win_rpy, win_ang=self.win_ang,
+            pos_com_ref_now=self.pos_ref_now, rpy_ref_now=self.rpy_ref_now,
+            alpha_gravity=alpha, rpy_unwrapped=rpy_unwrapped,
+            thrust_des=self.thrust_des, thrust_dot_des=self.thrust_dot_des,
+            throttle_cmd=self.throttle_cmd,
+            joint_pos_ctrl=self.joints_pos_ref[self.sel],
+            est_thrust_dot=np.asarray(est_thrust_dot, np.float64),
+            pin_first_knot=bool(pin),
+            lambda_option=self.lambda_option,
+            use_jet_dynamic=self.use_jet_dynamic,
+            use_estimated_thrust=self.use_estimated_thrust,
+        )
+        return d
+
+    def tick(self, sd, est_thrust_dot):
+        """One 200 Hz tick → dict of commands (variableSamplingMPC.cpp:88-151)."""
+        d = self._prep(sd, est_thrust_dot)
+        out = assemble(d, self.ocfg)
+        n_ctrl = len(self.sel)
+        ch = self.ocfg["control_horizon"]
+        u = solve_box_qp(out["Hc"], out["qc"], out["lbc"], out["ubc"],
+                         n_free=n_ctrl * ch)
+        states = out["F"] @ u + out["f"]        # [n_iter, 26]
+        self.joints_pos_ref = self.joints_pos_ref.copy()
+        self.joints_pos_ref[self.sel] += u[:n_ctrl]
+        v0 = u[n_ctrl * ch: n_ctrl * ch + 4]
+        self.throttle_cmd = _destd_throttle(v0)
+        self.thrust_des = states[0, THRUST].copy()
+        self.thrust_dot_des = states[0, THRUSTDOT].copy()
+        return dict(
+            joints_pos_ref=self.joints_pos_ref.copy(),
+            throttle=self.throttle_cmd.copy(),
+            thrust_des=self.thrust_des.copy(),
+            thrust_dot_des=self.thrust_dot_des.copy(),
+            final_state=states[-1].copy(),
+        )

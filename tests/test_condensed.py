@@ -116,3 +116,41 @@ def test_assoc_condensing_matches_sequential():
     np.testing.assert_allclose(qa.H, qs.H, rtol=0, atol=2e-5 * scale_h)
     scale_q = float(jnp.max(jnp.abs(qs.q)))
     np.testing.assert_allclose(qa.q, qs.q, rtol=0, atol=2e-5 * scale_q)
+
+
+def test_solver_state_recovery_after_corruption():
+    """One bad tick must not poison the 200 Hz loop: non-finite carried
+    solver state (warm start, K⁻¹, ρ) is sanitized and the carried-inverse
+    refresh falls back to a fresh factorisation when Newton–Schulz cannot
+    contract (qp/condensed.py solve; the reference gets this resilience for
+    free by re-running OSQP setup, IMPCProblem.cpp:221-236)."""
+    cfg = MPCConfig()
+    sched = build_schedule(cfg)
+    sel = joint_selector(RobotConfig(), cfg)
+    snap = make_hover_snapshot()
+    channels, alpha = make_test_trajectories()
+    settings = admm.ADMMSettings(max_iter=200, kinv_carry=True,
+                                 pallas_mode="off")
+    problem, carry = mpc_mod.configure(cfg, sched, sel, snap, channels,
+                                       alpha, settings)
+    est = jnp.zeros(4)
+    carry, ref_out = mpc_mod.mpc_tick(cfg, sched, sel, settings, problem,
+                                      carry, snap, est)
+    # corrupt every piece of carried solver state the way a diverged tick
+    # would: NaN warm start/duals, NaN K⁻¹, NaN adaptive-ρ state
+    nanlike = lambda a: jnp.full_like(a, jnp.nan)
+    bad = carry._replace(warm_x=nanlike(carry.warm_x),
+                         warm_y=nanlike(carry.warm_y),
+                         kinv=nanlike(carry.kinv),
+                         rho_vec=nanlike(carry.rho_vec),
+                         rho_scalar=nanlike(carry.rho_scalar))
+    carry2, out = mpc_mod.mpc_tick(cfg, sched, sel, settings, problem, bad,
+                                   snap, est)
+    assert int(out.status) in (admm.SOLVED, admm.SOLVED_INACCURATE)
+    assert np.all(np.isfinite(np.asarray(out.joints_pos_ref)))
+    assert np.all(np.isfinite(np.asarray(carry2.kinv)))
+    # and the recovered solution matches the uncorrupted tick's commands
+    np.testing.assert_allclose(np.asarray(out.throttle),
+                               np.asarray(ref_out.throttle), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.thrust_des),
+                               np.asarray(ref_out.thrust_des), atol=1e-2)
