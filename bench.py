@@ -46,11 +46,17 @@ def main():
     # throughput at batch 512 (42.1k vs 24.5k solves/s), the fused Pallas
     # kernels (K⁻¹ resident in VMEM) win single-solve latency (0.40 vs
     # 0.47 ms) — each metric runs its winning path.
+    # kinv_guard off for the batched throughput metric: under vmap the
+    # guard's lax.cond lowers to both-branches and re-pays the Cholesky
+    # every tick (21.3k vs 42.7k solves/s measured). The batch-1 latency
+    # path below keeps the guard — it only costs on an actual bad tick.
     settings = admm.ADMMSettings(max_iter=40, polish=True,
-                                 rho_update_iters=(15,), pallas_mode="off")
+                                 rho_update_iters=(15,), pallas_mode="off",
+                                 kinv_guard=False)
     cfg, sched, sel, settings, problem, carry, snap, vs_mpc = ge._setup(
         settings=settings)
-    settings_lat = dataclasses.replace(settings, pallas_mode="on")
+    settings_lat = dataclasses.replace(settings, pallas_mode="on",
+                                       kinv_guard=True)
 
     def tick(carry, snap, est):
         return vs_mpc.mpc_tick(cfg, sched, sel, settings, problem, carry,

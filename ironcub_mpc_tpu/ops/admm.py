@@ -70,6 +70,17 @@ class ADMMSettings:
     # with Woodbury + Newton–Schulz instead of re-factorising (the batched
     # Cholesky is the single most expensive kernel of the tick on TPU).
     kinv_carry: bool = True
+    # verify the refreshed carried inverse each tick and re-factorise via
+    # lax.cond when Newton–Schulz left the contraction basin (large state
+    # jump / NaN carry). Essentially free on the batch-1 real-time path
+    # (the Cholesky branch only executes on a bad tick), but under vmap
+    # cond lowers to select-with-both-branches, so large batched sweeps pay
+    # the Cholesky every tick (~2x throughput, 42.7k → 21.3k solves/s at
+    # batch 512 on v5e). Set False for throughput sweeps whose lane-failure
+    # policy already masks dead scenarios (parallel/monte_carlo.py); the
+    # carried warm start / ρ are sanitized against non-finite values either
+    # way.
+    kinv_guard: bool = True
     # fused Pallas kernels for the ADMM segment + Woodbury refresh
     # (ops/pallas_solve.py): "auto" = on TPU backends, "on" = always
     # (interpret mode off-TPU; for tests), "off" = pure-JAX path.

@@ -13,7 +13,10 @@ reported, never allowed to poison the reduction.
 Performance note: sweeps are batched, so construct the ``ClosedLoop`` with
 ``ADMMSettings(pallas_mode="off")`` — the batched-GEMM solver path wins
 throughput at large batch (42.1k vs 24.5k solves/s at 512 on v5e); the
-fused Pallas kernels are the batch-1 latency path.
+fused Pallas kernels are the batch-1 latency path. Consider
+``kinv_guard=False`` too: under vmap the carried-inverse recovery guard
+pays its fallback Cholesky on every tick (~2x throughput); the sweep's own
+failure masking already quarantines lanes the guard would have rescued.
 """
 
 from __future__ import annotations

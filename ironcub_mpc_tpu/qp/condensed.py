@@ -490,20 +490,23 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             rp = jnp.where(jnp.isfinite(rho_prev) & (rho_prev > 0),
                            rho_prev, rho_vec)
             Kinv = woodbury_k(lift(kp), rp, rho_vec)
-            # Newton–Schulz only contracts from ‖I − K·X‖ < 1: a large
-            # inter-tick state jump (gust, contact, reset) can push the
-            # carried inverse outside the basin and the refresh diverges.
-            # Verify the inverse residual and re-factorise on failure —
-            # lax.cond, so the real-time batch-1 path pays the Cholesky
-            # only on the (rare) bad tick.
-            K_chk = H + settings.sigma * jnp.eye(nU, dtype=dt_)
-            K_chk = K_chk.at[jnp.arange(box0, nU),
-                             jnp.arange(box0, nU)].add(rho_vec)
-            resid = jnp.max(jnp.abs(
-                jnp.eye(nU, dtype=dt_) - K_chk @ lower(Kinv)))
-            bad = ~jnp.isfinite(resid) | (resid > 0.1)
-            Kinv = jax.lax.cond(
-                bad, lambda _: lift(factor(rho_vec)), lambda k: k, Kinv)
+            if settings.kinv_guard:
+                # Newton–Schulz only contracts from ‖I − K·X‖ < 1: a large
+                # inter-tick state jump (gust, contact, reset) can push the
+                # carried inverse outside the basin and the refresh
+                # diverges. Verify the inverse residual and re-factorise on
+                # failure — lax.cond, so the real-time batch-1 path pays
+                # the Cholesky only on the (rare) bad tick. (Under vmap the
+                # cond lowers to both-branches; see ADMMSettings.kinv_guard
+                # for the throughput trade-off.)
+                K_chk = H + settings.sigma * jnp.eye(nU, dtype=dt_)
+                K_chk = K_chk.at[jnp.arange(box0, nU),
+                                 jnp.arange(box0, nU)].add(rho_vec)
+                resid = jnp.max(jnp.abs(
+                    jnp.eye(nU, dtype=dt_) - K_chk @ lower(Kinv)))
+                bad = ~jnp.isfinite(resid) | (resid > 0.1)
+                Kinv = jax.lax.cond(
+                    bad, lambda _: lift(factor(rho_vec)), lambda k: k, Kinv)
         for si in range(len(bounds) - 1):
             x, z, y = run_segment_k(Kinv, rho_vec, x, z, y,
                                     bounds[si + 1] - bounds[si])
