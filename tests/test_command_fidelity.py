@@ -135,10 +135,23 @@ def _trajectories(n=40):
     }
 
 
-@pytest.fixture(scope="module", params=["condensed", "full"])
+@pytest.fixture(scope="module",
+                params=["condensed", "full", "constant-commanded"])
 def sequences(request):
-    cfg = MPCConfig() if request.param == "condensed" else \
-        __import__("dataclasses").replace(MPCConfig(), qp_solver="full")
+    """Three controller configurations: both solver paths on the stock
+    config, plus the constant-λ / commanded-thrust variant — there x₀'s
+    thrust block comes from the *carried* thrust_des/thrust_dot_des
+    commands (constraintsVSMPC.cpp:215-224), a feedback loop through the
+    carry that the estimated-thrust configs never exercise."""
+    import dataclasses
+    if request.param == "condensed":
+        cfg = MPCConfig()
+    elif request.param == "full":
+        cfg = dataclasses.replace(MPCConfig(), qp_solver="full")
+    else:
+        cfg = dataclasses.replace(MPCConfig(),
+                                  joints_lambda_option="constant",
+                                  use_estimated_thrust=False)
     sched = build_schedule(cfg)
     sel = joint_selector(RobotConfig(), cfg)
     settings = admm.ADMMSettings(max_iter=400, polish=True,
