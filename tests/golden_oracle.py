@@ -315,9 +315,31 @@ def assemble(d: dict, cfg: dict) -> dict:
             lb_thr[i * nt:(i + 1) * nt] = v_min
             ub_thr[i * nt:(i + 1) * nt] = v_max
 
-    A = np.vstack([A_dyn, A_init, A_thr])
-    lb = np.concatenate([b_dyn, x0, lb_thr])
-    ub = np.concatenate([b_dyn, x0, ub_thr])
+    # --- optional joint-position rows (constraintsVSMPC.cpp:388-456:
+    # per-knot identity on the joint deltas, bounds = remaining range from
+    # the current integrated position; nJoints·nIter rows declared, only
+    # controlHorizon knots filled) -----------------------------------------
+    joint_limits = bool(cfg.get("joint_limits", False))
+    if joint_limits:
+        n_j_rows = n_ctrl * ni
+        A_jnt = np.zeros((n_j_rows, n_var))
+        lb_jnt = np.zeros(n_j_rows)
+        ub_jnt = np.zeros(n_j_rows)
+        qmin = np.asarray(cfg["joint_pos_min"], np.float64)
+        qmax = np.asarray(cfg["joint_pos_max"], np.float64)
+        for i in range(ch):
+            r = i * n_ctrl
+            A_jnt[r:r + n_ctrl, jo + i * n_ctrl:jo + (i + 1) * n_ctrl] = (
+                np.eye(n_ctrl))
+            lb_jnt[r:r + n_ctrl] = qmin - d["joint_pos_ctrl"]
+            ub_jnt[r:r + n_ctrl] = qmax - d["joint_pos_ctrl"]
+        A = np.vstack([A_dyn, A_init, A_thr, A_jnt])
+        lb = np.concatenate([b_dyn, x0, lb_thr, lb_jnt])
+        ub = np.concatenate([b_dyn, x0, ub_thr, ub_jnt])
+    else:
+        A = np.vstack([A_dyn, A_init, A_thr])
+        lb = np.concatenate([b_dyn, x0, lb_thr])
+        ub = np.concatenate([b_dyn, x0, ub_thr])
 
     # --- Hessian (costsVSMPC.cpp:166-174,375-409,470-477,560-573) -----------
     Q = np.zeros((NS, NS))
@@ -403,6 +425,10 @@ def assemble(d: dict, cfg: dict) -> dict:
                           np.full(nt * (n_tk - 1), v_min)])
     ubc = np.concatenate([np.broadcast_to(ubc0, (nt,)),
                           np.full(nt * (n_tk - 1), v_max)])
+    if joint_limits:
+        # condensed box extends over the joint-delta head too
+        lbc = np.concatenate([np.tile(qmin - d["joint_pos_ctrl"], ch), lbc])
+        ubc = np.concatenate([np.tile(qmax - d["joint_pos_ctrl"], ch), ubc])
 
     return dict(H=H, g=g, A=A, lb=lb, ub=ub, Ac=Ac, BJ=BJ, BT=BT, c=cvec,
                 x0=x0, state_ref=state_ref, Hc=Hc, qc=qc, lbc=lbc, ubc=ubc,
@@ -598,8 +624,9 @@ class OracleMPC:
         out = assemble(d, self.ocfg)
         n_ctrl = len(self.sel)
         ch = self.ocfg["control_horizon"]
+        n_free = 0 if self.ocfg.get("joint_limits", False) else n_ctrl * ch
         u = solve_box_qp(out["Hc"], out["qc"], out["lbc"], out["ubc"],
-                         n_free=n_ctrl * ch)
+                         n_free=n_free)
         states = out["F"] @ u + out["f"]        # [n_iter, 26]
         self.joints_pos_ref = self.joints_pos_ref.copy()
         self.joints_pos_ref[self.sel] += u[:n_ctrl]

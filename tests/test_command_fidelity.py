@@ -136,18 +136,26 @@ def _trajectories(n=40):
 
 
 @pytest.fixture(scope="module",
-                params=["condensed", "full", "constant-commanded"])
+                params=["condensed", "full", "constant-commanded",
+                        "joint-limits"])
 def sequences(request):
-    """Three controller configurations: both solver paths on the stock
-    config, plus the constant-λ / commanded-thrust variant — there x₀'s
+    """Four controller configurations: both solver paths on the stock
+    config; the constant-λ / commanded-thrust variant — there x₀'s
     thrust block comes from the *carried* thrust_des/thrust_dot_des
     commands (constraintsVSMPC.cpp:215-224), a feedback loop through the
-    carry that the estimated-thrust configs never exercise."""
+    carry that the estimated-thrust configs never exercise; and the
+    config-gated joint-position constraint with limits tight enough
+    (±3°) that the box is active on real ticks."""
     import dataclasses
     if request.param == "condensed":
         cfg = MPCConfig()
     elif request.param == "full":
         cfg = dataclasses.replace(MPCConfig(), qp_solver="full")
+    elif request.param == "joint-limits":
+        cfg = dataclasses.replace(MPCConfig(),
+                                  use_joint_position_constraint=True,
+                                  joint_pos_min_deg=(-3.0,) * 8,
+                                  joint_pos_max_deg=(3.0,) * 8)
     else:
         cfg = dataclasses.replace(MPCConfig(),
                                   joints_lambda_option="constant",
@@ -196,6 +204,9 @@ def sequences(request):
         w_throttle0=cfg.weight_initial_throttle,
         w_jreg=cfg.weight_regularization_joint_pos,
         throttle_min=cfg.throttle_min, throttle_max=cfg.throttle_max,
+        joint_limits=cfg.use_joint_position_constraint,
+        joint_pos_min=np.deg2rad(cfg.joint_pos_min_deg),
+        joint_pos_max=np.deg2rad(cfg.joint_pos_max_deg),
     )
     omp = oracle.OracleMPC(
         ocfg, sds[0], np.asarray(sel), channels, alpha, initial_throttle,
@@ -253,3 +264,19 @@ def test_final_state_sequence(sequences):
     lib_f, orc_f = _series(lib, "final_state"), _series(orc, "final_state")
     scale = np.maximum(1.0, np.abs(orc_f).max(axis=0))
     assert np.max(np.abs(lib_f - orc_f) / scale) < 5e-2
+
+
+def test_joint_limits_respected(sequences):
+    """With the config-gated joint-position constraint on, the integrated
+    command must stay inside the (deliberately tight) deg limits once the
+    controller has pulled the initial out-of-range posture back in."""
+    cfg, lib, _ = sequences
+    if not cfg.use_joint_position_constraint:
+        pytest.skip("joint-limits config only")
+    sel = np.asarray(joint_selector(RobotConfig(), cfg))
+    jp = _series(lib, "joints_pos_ref")[:, sel]
+    qmin = np.deg2rad(cfg.joint_pos_min_deg)
+    qmax = np.deg2rad(cfg.joint_pos_max_deg)
+    late = jp[10:]
+    assert np.all(late >= qmin[None, :] - 1e-3)
+    assert np.all(late <= qmax[None, :] + 1e-3)
