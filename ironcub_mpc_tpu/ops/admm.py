@@ -363,6 +363,10 @@ def solve_prepared(data: QPData, settings: ADMMSettings = ADMMSettings(),
     d, e, c = data.scaling
     x = jnp.zeros((n,), dt) if x0 is None else x0 / d
     y = jnp.zeros((m,), dt) if y0 is None else y0 * c / e
+    # warm starts are carried across 200 Hz ticks even when a solve fails —
+    # sanitize so one non-finite iterate cannot poison every later tick
+    x = jnp.where(jnp.isfinite(x), x, 0.0)
+    y = jnp.where(jnp.isfinite(y), y, 0.0)
     z = jnp.clip(data.A @ x, data.l, data.u)
 
     def segment(data_k, x, z, y, pinf, dinf, length):
@@ -439,6 +443,10 @@ def solve_adaptive(P, q, A, l, u, settings: ADMMSettings = ADMMSettings(),
     d, e, c = data.scaling
     x = jnp.zeros((n,), dt) if x0 is None else x0 / d
     y = jnp.zeros((m,), dt) if y0 is None else y0 * c / e
+    # warm starts are carried across 200 Hz ticks even when a solve fails —
+    # sanitize so one non-finite iterate cannot poison every later tick
+    x = jnp.where(jnp.isfinite(x), x, 0.0)
+    y = jnp.where(jnp.isfinite(y), y, 0.0)
     z = jnp.clip(data.A @ x, data.l, data.u)
 
     def cond(state):

@@ -154,3 +154,25 @@ def test_solver_state_recovery_after_corruption():
                                np.asarray(ref_out.throttle), atol=1e-3)
     np.testing.assert_allclose(np.asarray(out.thrust_des),
                                np.asarray(ref_out.thrust_des), atol=1e-2)
+
+
+def test_full_space_warm_start_recovery():
+    """Same resilience on the full-space OSQP-equivalent path: NaN warm
+    start/duals from a failed tick are sanitized (ops/admm.solve_prepared)."""
+    cfg = dataclasses.replace(MPCConfig(), qp_solver="full")
+    sched = build_schedule(cfg)
+    sel = joint_selector(RobotConfig(), cfg)
+    snap = make_hover_snapshot()
+    channels, alpha = make_test_trajectories()
+    problem, carry = mpc_mod.configure(cfg, sched, sel, snap, channels,
+                                       alpha, SETTINGS)
+    est = jnp.zeros(4)
+    carry, ref_out = mpc_mod.mpc_tick(cfg, sched, sel, SETTINGS, problem,
+                                      carry, snap, est)
+    bad = carry._replace(warm_x=jnp.full_like(carry.warm_x, jnp.nan),
+                         warm_y=jnp.full_like(carry.warm_y, jnp.nan))
+    _, out = mpc_mod.mpc_tick(cfg, sched, sel, SETTINGS, problem, bad,
+                              snap, est)
+    assert int(out.status) in (admm.SOLVED, admm.SOLVED_INACCURATE)
+    np.testing.assert_allclose(np.asarray(out.throttle),
+                               np.asarray(ref_out.throttle), atol=1e-3)
