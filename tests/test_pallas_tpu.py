@@ -92,9 +92,15 @@ def test_kernels_lower_on_tpu():
         # out in seconds; a hang past 20 min means the tunnel's remote
         # compile service is unresponsive (observed: the same kernels
         # compiled in ~27 s earlier the same day). Skip rather than
-        # misreport an environment outage as a lowering regression.
-        pytest.skip("remote Mosaic compile service unresponsive (>20 min); "
-                    "cannot evaluate lowering")
+        # misreport an environment outage as a lowering regression — but
+        # LOUDLY: a skipped gate means the TPU-lowering guarantee was NOT
+        # checked this run (skip policy documented in README).
+        print("\n" + "!" * 72 + "\n!! PALLAS TPU LOWERING GATE SKIPPED: "
+              "remote Mosaic compile service\n!! unresponsive (>20 min). "
+              "Lowering was NOT verified this run.\n" + "!" * 72 + "\n",
+              file=sys.stderr, flush=True)
+        pytest.skip("LOWERING GATE NOT EVALUATED: remote Mosaic compile "
+                    "service unresponsive (>20 min)")
     out = proc.stdout.strip().splitlines()
     if proc.returncode == 0 and out and out[-1] == "NO_TPU":
         pytest.skip("no TPU attached")
