@@ -46,17 +46,21 @@ def main():
     # throughput at batch 512 (42.1k vs 24.5k solves/s), the fused Pallas
     # kernels (K⁻¹ resident in VMEM) win single-solve latency (0.40 vs
     # 0.47 ms) — each metric runs its winning path.
-    # kinv_guard off for the batched throughput metric: under vmap the
-    # guard's lax.cond lowers to both-branches and re-pays the Cholesky
-    # every tick (21.3k vs 42.7k solves/s measured). The batch-1 latency
-    # path below keeps the guard — it only costs on an actual bad tick.
+    # The throughput metric runs GUARDED (kinv_guard + batch-level
+    # guard_axis): the per-lane recovery cond is psum-reduced over the vmap
+    # axis so good ticks pay one collective instead of an always-taken
+    # Cholesky branch. Measured on v5e at batch 512: lane-mode guard under
+    # vmap 21.3k, unguarded 42.1k, batch-guard 40.3k solves/s (-4.4%) — the
+    # benched configuration is now the same recovery-safe solver the
+    # sweeps run.
     settings = admm.ADMMSettings(max_iter=40, polish=True,
                                  rho_update_iters=(15,), pallas_mode="off",
-                                 kinv_guard=False)
+                                 kinv_guard=True,
+                                 guard_axis=admm.BATCH_GUARD_AXIS)
     cfg, sched, sel, settings, problem, carry, snap, vs_mpc = ge._setup(
         settings=settings)
     settings_lat = dataclasses.replace(settings, pallas_mode="on",
-                                       kinv_guard=True)
+                                       guard_axis=None)
 
     def tick(carry, snap, est):
         return vs_mpc.mpc_tick(cfg, sched, sel, settings, problem, carry,
@@ -76,7 +80,7 @@ def main():
                                   snaps.momentum_body.dtype))
     est = jnp.zeros((batch, 4))
 
-    step = jax.jit(jax.vmap(tick))
+    step = jax.jit(jax.vmap(tick, axis_name=admm.BATCH_GUARD_AXIS))
     # warmup / compile
     t0 = time.time()
     carries, out = step(carries, snaps, est)

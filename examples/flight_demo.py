@@ -31,52 +31,19 @@ def main():
     jax.config.update("jax_compilation_cache_dir", str(ROOT / ".jax_cache_tpu"
                       if jax.default_backend() == "tpu" else ROOT / ".jax_cache"))
 
-    from ironcub_mpc_tpu.core.config import MPCConfig, RobotConfig, SimConfig
-    from ironcub_mpc_tpu.dynamics import KinDyn, build_ironcub_model
-    from ironcub_mpc_tpu.ops import admm
     from ironcub_mpc_tpu.runtime import telemetry
-    from ironcub_mpc_tpu.runtime.loop import ClosedLoop
-    from ironcub_mpc_tpu.runtime.trajectory import load_npz
-    from ironcub_mpc_tpu.sim.jet_lstm import LSTMJetModel
-    from ironcub_mpc_tpu.sim.plant import Plant, PlantParams
-    from closed_loop_demo import standing_state
+    from ironcub_mpc_tpu.runtime import flight
 
-    model = build_ironcub_model()
-    kd = KinDyn(model)
-    sim_cfg = SimConfig(use_nn_jet_dynamics=use_nn)
-    lstm = LSTMJetModel(str(ROOT / "data/jet_lstm_weights.npz")) if use_nn else None
-    import dataclasses
-    # flight-tuned parameters: extra arm damping and stronger posture
-    # regularisation keep the arms away from the approximate model's
-    # follower-force flutter region at flight thrust
-    plant = Plant(kd, RobotConfig(), sim_cfg, params=PlantParams(kd=60.0),
-                  lstm=lstm)
-    cfg = dataclasses.replace(MPCConfig(), weight_regularization_joint_pos=200.0)
-    loop = ClosedLoop(plant, cfg,
-                      admm.ADMMSettings(max_iter=120, rho_update_iters=(20, 50)))
-
-    pos_traj = load_npz(str(ROOT / "data/trajectories/minimum_jerk.npz"))
-    alpha_traj = load_npz(str(ROOT / "data/trajectories/alpha_gravity.npz"),
-                          des_fps=1.0 / loop.cfg.period_mpc)
-
-    s = standing_state(plant, sim_cfg.initial_position_deg)
-    print(f"jets: {'LSTM+EKF' if use_nn else 'direct thrust'}; settling 2 s ...")
-    s = jax.jit(lambda s: loop.settle(s, 2.0))(s)
-    jax.block_until_ready(s.base_p)
-
-    problem, carry = loop.configure(
-        s, {k: np.asarray(v) for k, v in pos_traj.channels.items()},
-        np.asarray(alpha_traj.channels["alphaGravity"])[:, 0])
-
+    loop, pos_traj, alpha_traj = flight.build_flight_loop(use_nn=use_nn)
+    model = loop.kd.model
     n_ticks = int(round(seconds / loop.cfg.period_mpc))
-    rollout = loop.rollout_jit()
-    print(f"flying {seconds:.0f} s = {n_ticks} ticks ...")
-    t0 = time.time()
-    carry, tel = rollout(problem, carry, n_ticks)
-    jax.block_until_ready(tel)
-    wall = time.time() - t0
-    print(f"rollout: {wall:.1f}s wall ({1e3*wall/n_ticks:.2f} ms/tick, "
-          f"{'%.1fx realtime' % (seconds/wall)})")
+    print(f"jets: {'LSTM+EKF' if use_nn else 'direct thrust'}; settling 2 s, "
+          f"then flying {seconds:.0f} s = {n_ticks} ticks ...")
+    tel, info = flight.run_flight(seconds, use_nn=use_nn, loop=loop,
+                                  pos_traj=pos_traj, alpha_traj=alpha_traj)
+    print(f"rollout: {info['rollout_wall_s']:.1f}s wall "
+          f"({info['ms_per_tick']:.2f} ms/tick, "
+          f"{info['realtime_factor']:.1f}x realtime)")
 
     st = np.asarray(tel.solver_status)
     print(f"solver: solved {int((st==1).sum())}/{n_ticks}, "

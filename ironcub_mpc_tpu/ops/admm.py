@@ -39,6 +39,12 @@ PRIMAL_INFEASIBLE = 3
 DUAL_INFEASIBLE = 4
 MAX_ITER_REACHED = 5
 
+# Canonical vmap axis name for the batch-level carried-inverse guard (see
+# ADMMSettings.guard_axis): vmap the batched tick with
+# ``jax.vmap(f, axis_name=BATCH_GUARD_AXIS)`` and set
+# ``guard_axis=BATCH_GUARD_AXIS`` in the settings.
+BATCH_GUARD_AXIS = "kinv_guard_batch"
+
 
 @dataclasses.dataclass(frozen=True)
 class ADMMSettings:
@@ -73,14 +79,26 @@ class ADMMSettings:
     # verify the refreshed carried inverse each tick and re-factorise via
     # lax.cond when Newton–Schulz left the contraction basin (large state
     # jump / NaN carry). Essentially free on the batch-1 real-time path
-    # (the Cholesky branch only executes on a bad tick), but under vmap
-    # cond lowers to select-with-both-branches, so large batched sweeps pay
-    # the Cholesky every tick (~2x throughput, 42.7k → 21.3k solves/s at
-    # batch 512 on v5e). Set False for throughput sweeps whose lane-failure
-    # policy already masks dead scenarios (parallel/monte_carlo.py); the
-    # carried warm start / ρ are sanitized against non-finite values either
-    # way.
+    # (the Cholesky branch only executes on a bad tick), but under plain
+    # vmap cond lowers to select-with-both-branches, so large batched
+    # sweeps pay the Cholesky every tick (~2x throughput, 42.7k → 21.3k
+    # solves/s at batch 512 on v5e). For batched sweeps set ``guard_axis``
+    # below instead of disabling the guard: the predicate is then reduced
+    # across the batch, the cond stays a genuine branch under vmap, and the
+    # whole sweep pays the refactorisation only on ticks where at least one
+    # lane actually went bad. The carried warm start / ρ are sanitized
+    # against non-finite values either way.
     kinv_guard: bool = True
+    # batch-level kinv_guard: name of the surrounding ``jax.vmap``
+    # ``axis_name`` (use :data:`BATCH_GUARD_AXIS` and
+    # ``jax.vmap(f, axis_name=BATCH_GUARD_AXIS)``). When set, the per-lane
+    # bad-inverse flags are ``lax.psum``-reduced over that axis; vmap's
+    # collective batching rule makes the reduced predicate unbatched, so
+    # the recovery ``lax.cond`` survives vmap as a real branch — good
+    # ticks cost one psum, bad ticks pay one batched Cholesky with a
+    # per-lane select. Must match the vmap axis_name or tracing fails;
+    # leave None on the unbatched real-time path.
+    guard_axis: str | None = None
     # fused Pallas kernels for the ADMM segment + Woodbury refresh
     # (ops/pallas_solve.py): "auto" = on TPU backends, "on" = always
     # (interpret mode off-TPU; for tests), "off" = pure-JAX path.

@@ -13,10 +13,12 @@ reported, never allowed to poison the reduction.
 Performance note: sweeps are batched, so construct the ``ClosedLoop`` with
 ``ADMMSettings(pallas_mode="off")`` — the batched-GEMM solver path wins
 throughput at large batch (42.1k vs 24.5k solves/s at 512 on v5e); the
-fused Pallas kernels are the batch-1 latency path. Consider
-``kinv_guard=False`` too: under vmap the carried-inverse recovery guard
-pays its fallback Cholesky on every tick (~2x throughput); the sweep's own
-failure masking already quarantines lanes the guard would have rescued.
+fused Pallas kernels are the batch-1 latency path. Keep the carried-inverse
+recovery guard by setting ``guard_axis=admm.BATCH_GUARD_AXIS`` (the sweep
+vmaps with that axis name): the guard's recovery branch then triggers per
+*tick with any bad lane* instead of lowering to both-branches per lane —
+measured 40.3k vs 42.1k solves/s at batch 512 on v5e, -4.4% for full
+recovery coverage (see ``ADMMSettings.guard_axis``).
 """
 
 from __future__ import annotations
@@ -106,7 +108,9 @@ def run_sweep(loop: ClosedLoop, problem, batched_carry: LoopCarry,
     @partial(shard_map, mesh=mesh, in_specs=(P("scenario"),),
              out_specs=P(), check_vma=False)
     def sweep(shard_carry):
-        max_err, solved, any_bad, failed = jax.vmap(rollout_one)(shard_carry)
+        # axis_name feeds the batch-level kinv_guard (ADMMSettings.guard_axis)
+        max_err, solved, any_bad, failed = jax.vmap(
+            rollout_one, axis_name=admm.BATCH_GUARD_AXIS)(shard_carry)
         healthy = ~failed
         n_h = jnp.sum(healthy)
         sum_err = jnp.sum(jnp.where(healthy, max_err, 0.0))

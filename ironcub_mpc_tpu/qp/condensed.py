@@ -496,17 +496,33 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
                 # carried inverse outside the basin and the refresh
                 # diverges. Verify the inverse residual and re-factorise on
                 # failure — lax.cond, so the real-time batch-1 path pays
-                # the Cholesky only on the (rare) bad tick. (Under vmap the
-                # cond lowers to both-branches; see ADMMSettings.kinv_guard
-                # for the throughput trade-off.)
+                # the Cholesky only on the (rare) bad tick.
                 K_chk = H + settings.sigma * jnp.eye(nU, dtype=dt_)
                 K_chk = K_chk.at[jnp.arange(box0, nU),
                                  jnp.arange(box0, nU)].add(rho_vec)
                 resid = jnp.max(jnp.abs(
                     jnp.eye(nU, dtype=dt_) - K_chk @ lower(Kinv)))
                 bad = ~jnp.isfinite(resid) | (resid > 0.1)
-                Kinv = jax.lax.cond(
-                    bad, lambda _: lift(factor(rho_vec)), lambda k: k, Kinv)
+                if settings.guard_axis is not None:
+                    # Batch-level guard: under vmap(axis_name=guard_axis)
+                    # a plain lax.cond on the per-lane flag lowers to
+                    # select-with-both-branches and every tick pays the
+                    # fallback Cholesky (~2x throughput). psum over the
+                    # batch axis instead: vmap's collective batching rule
+                    # returns an UNbatched any-lane-bad scalar, the cond
+                    # survives as a real branch, and only ticks with an
+                    # actual bad lane pay the batched refactorisation
+                    # (applied per-lane via where).
+                    n_bad = jax.lax.psum(bad.astype(jnp.int32),
+                                         settings.guard_axis)
+                    Kinv = jax.lax.cond(
+                        n_bad > 0,
+                        lambda k: jnp.where(bad, lift(factor(rho_vec)), k),
+                        lambda k: k, Kinv)
+                else:
+                    Kinv = jax.lax.cond(
+                        bad, lambda _: lift(factor(rho_vec)),
+                        lambda k: k, Kinv)
         for si in range(len(bounds) - 1):
             x, z, y = run_segment_k(Kinv, rho_vec, x, z, y,
                                     bounds[si + 1] - bounds[si])

@@ -1,0 +1,155 @@
+"""Reference-flight runner: the end-to-end deliverable of the framework.
+
+The reference's headline demonstration is the full closed loop run to the
+end of the 148 s minimum-jerk trajectory with a complete telemetry record
+(src/variable_sampling_mpc.py:106-161 driver loop, :163-194 telemetry dump;
+src/trajectories/minimumJerkTrajectory.mat = 1481 samples @ 10 fps). This
+module packages that run as a library call: build the flight-configured
+closed loop, settle, configure, `lax.scan` the whole flight as ONE compiled
+program, and reduce the telemetry to quantified tracking evidence
+(CoM/RPY RMSE + max deviation + solved fraction).
+
+Used by examples/flight_demo.py (interactive), tools/fly_full_trajectory.py
+(driver artifact FLIGHT_r{N}.json) and tests/test_flight_regression.py
+(bounded regression on a shortened slice).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+ROOT = Path(__file__).resolve().parents[2]
+
+
+def standing_state(plant, q0_deg):
+    """Place the robot so the sole corners touch the ground (the reference
+    aligns the base to l_sole; ironcub_mujoco_simulator.py:359-388)."""
+    kd = plant.kd
+    q0 = jnp.asarray(np.radians(q0_deg), kd.dtype)
+    ls = kd.fk(jnp.eye(3, dtype=kd.dtype), jnp.zeros(3, kd.dtype), q0)
+    z_min = 1e9
+    for name in ("l_sole", "r_sole"):
+        fr = kd.model.frames[name]
+        p_f = ls.p[fr.link] + ls.R[fr.link] @ jnp.asarray(fr.p, kd.dtype)
+        z_min = min(z_min, float(p_f[2]) - 0.002)
+    return plant.init_state(np.eye(3), np.array([0.0, 0.0, -z_min]), q0)
+
+
+def build_flight_loop(use_nn: bool = True, max_iter: int = 120,
+                      rho_update_iters=(20, 50)):
+    """Flight-configured :class:`~ironcub_mpc_tpu.runtime.loop.ClosedLoop`
+    plus the converted reference trajectories (BASELINE config 3)."""
+    from ..core.config import MPCConfig, RobotConfig, SimConfig
+    from ..dynamics import KinDyn, build_ironcub_model
+    from ..ops import admm
+    from ..runtime.loop import ClosedLoop
+    from ..runtime.trajectory import load_npz
+    from ..sim.jet_lstm import LSTMJetModel
+    from ..sim.plant import Plant, PlantParams
+
+    model = build_ironcub_model()
+    kd = KinDyn(model)
+    sim_cfg = SimConfig(use_nn_jet_dynamics=use_nn)
+    lstm = (LSTMJetModel(str(ROOT / "data/jet_lstm_weights.npz"))
+            if use_nn else None)
+    # flight-tuned parameters: extra arm damping and stronger posture
+    # regularisation keep the arms away from the approximate model's
+    # follower-force flutter region at flight thrust
+    plant = Plant(kd, RobotConfig(), sim_cfg, params=PlantParams(kd=60.0),
+                  lstm=lstm)
+    cfg = dataclasses.replace(MPCConfig(),
+                              weight_regularization_joint_pos=200.0)
+    loop = ClosedLoop(plant, cfg, admm.ADMMSettings(
+        max_iter=max_iter, rho_update_iters=tuple(rho_update_iters)))
+    pos_traj = load_npz(str(ROOT / "data/trajectories/minimum_jerk.npz"))
+    alpha_traj = load_npz(str(ROOT / "data/trajectories/alpha_gravity.npz"),
+                          des_fps=1.0 / loop.cfg.period_mpc)
+    return loop, pos_traj, alpha_traj
+
+
+def run_flight(seconds: float = 148.0, use_nn: bool = True,
+               settle_s: float = 2.0, loop=None, pos_traj=None,
+               alpha_traj=None):
+    """Settle + configure + one-`lax.scan` flight. Returns
+    ``(telemetry, info)`` with wall-clock timings in ``info``."""
+    if loop is None:
+        loop, pos_traj, alpha_traj = build_flight_loop(use_nn=use_nn)
+    s = standing_state(loop.plant, loop.plant.sim_cfg.initial_position_deg)
+    t0 = time.time()
+    s = jax.jit(lambda s: loop.settle(s, settle_s))(s)
+    jax.block_until_ready(s.base_p)
+    settle_wall = time.time() - t0
+
+    problem, carry = loop.configure(
+        s, {k: np.asarray(v) for k, v in pos_traj.channels.items()},
+        np.asarray(alpha_traj.channels["alphaGravity"])[:, 0])
+
+    n_ticks = int(round(seconds / loop.cfg.period_mpc))
+    rollout = loop.rollout_jit()
+    t0 = time.time()
+    carry, tel = rollout(problem, carry, n_ticks)
+    jax.block_until_ready(tel.com_position)
+    wall = time.time() - t0
+    info = {
+        "seconds": float(seconds),
+        "n_ticks": n_ticks,
+        "period_mpc_s": float(loop.cfg.period_mpc),
+        "settle_wall_s": round(settle_wall, 2),
+        "rollout_wall_s": round(wall, 2),
+        "ms_per_tick": round(1e3 * wall / n_ticks, 3),
+        "realtime_factor": round(seconds / wall, 2),
+        "device": jax.devices()[0].platform,
+        "jets": "lstm+ekf" if use_nn else "direct-thrust",
+    }
+    return tel, info
+
+
+def flight_stats(tel, period: float, total_mass: float | None = None) -> dict:
+    """Quantified tracking evidence from a flight telemetry record.
+
+    CoM error is ‖com − com_ref‖; RPY error compares the measured base
+    orientation against the commanded reference column, both in degrees.
+    ``*_post_takeoff`` stats start where the total commanded thrust first
+    exceeds 0.9·m·g (airborne), when a mass is given.
+    """
+    com = np.asarray(tel.com_position, np.float64)
+    ref = np.asarray(tel.com_position_desired, np.float64)
+    rpy = np.degrees(np.asarray(tel.base_orientation, np.float64))
+    rpy_ref = np.degrees(np.asarray(tel.base_orientation_desired, np.float64))
+    err = np.linalg.norm(com - ref, axis=1)
+    # wrap-safe RPY error per axis
+    rpy_err = np.abs((rpy - rpy_ref + 180.0) % 360.0 - 180.0)
+    rpy_err_n = np.linalg.norm(rpy_err, axis=1)
+    st = np.asarray(tel.solver_status)
+    solved = (st == 1) | (st == 2)
+    n = len(err)
+    stats = {
+        "ticks": int(n),
+        "solved_frac": round(float(solved.mean()), 6),
+        "n_not_solved": int((~solved).sum()),
+        "com_rmse_m": round(float(np.sqrt((err ** 2).mean())), 4),
+        "com_mean_m": round(float(err.mean()), 4),
+        "com_max_m": round(float(err.max()), 4),
+        "rpy_rmse_deg": round(float(np.sqrt((rpy_err_n ** 2).mean())), 3),
+        "rpy_max_deg": round(float(rpy_err.max()), 3),
+        "finite": bool(np.isfinite(com).all() and np.isfinite(rpy).all()),
+    }
+    if total_mass is not None:
+        T = np.asarray(tel.estimated_thrust, np.float64).sum(axis=1)
+        airborne = T > 0.9 * total_mass * 9.81
+        if airborne.any():
+            k0 = int(airborne.argmax())
+            stats["takeoff_t_s"] = round(k0 * period, 2)
+            stats["com_rmse_post_takeoff_m"] = round(
+                float(np.sqrt((err[k0:] ** 2).mean())), 4)
+            stats["com_max_post_takeoff_m"] = round(float(err[k0:].max()), 4)
+            stats["rpy_rmse_post_takeoff_deg"] = round(
+                float(np.sqrt((rpy_err_n[k0:] ** 2).mean())), 3)
+    return stats

@@ -6,6 +6,7 @@ import dataclasses
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from ironcub_mpc_tpu.core.config import MPCConfig, RobotConfig, joint_selector
@@ -154,6 +155,56 @@ def test_solver_state_recovery_after_corruption():
                                np.asarray(ref_out.throttle), atol=1e-3)
     np.testing.assert_allclose(np.asarray(out.thrust_des),
                                np.asarray(ref_out.thrust_des), atol=1e-2)
+
+
+def test_batch_guard_recovers_corrupted_lane():
+    """Batch-level kinv_guard (ADMMSettings.guard_axis): under
+    ``vmap(axis_name=BATCH_GUARD_AXIS)`` the guard's any-lane-bad predicate
+    is psum-reduced to an unbatched scalar, the recovery cond stays a real
+    branch, and a lane with a corrupted carried K⁻¹ is refactorised while
+    healthy lanes keep their refreshed inverse. Commands must match the
+    lane-mode guarded solve on every lane."""
+    cfg = MPCConfig()
+    sched = build_schedule(cfg)
+    sel = joint_selector(RobotConfig(), cfg)
+    channels, alpha = make_test_trajectories()
+    base = admm.ADMMSettings(max_iter=200, kinv_carry=True, pallas_mode="off")
+    batched = dataclasses.replace(base, guard_axis=admm.BATCH_GUARD_AXIS)
+    n = 4
+    snaps = [make_hover_snapshot(rng_seed=100 + i) for i in range(n)]
+    snap_b = jax.tree.map(lambda *a: jnp.stack(a), *snaps)
+    problem, carry0 = mpc_mod.configure(cfg, sched, sel, snaps[0], channels,
+                                        alpha, base)
+    carry_b = jax.tree.map(lambda a: jnp.stack([a] * n), carry0)
+    est_b = jnp.zeros((n, 4))
+
+    def tick_with(settings):
+        def tick(carry, snap, est):
+            return mpc_mod.mpc_tick(cfg, sched, sel, settings, problem,
+                                    carry, snap, est)
+        return tick
+
+    step_b = jax.jit(jax.vmap(tick_with(batched),
+                              axis_name=admm.BATCH_GUARD_AXIS))
+    carry_b, _ = step_b(carry_b, snap_b, est_b)  # seed the carried state
+    # corrupt lane 2's carried inverse the way a diverged tick would
+    kinv_bad = carry_b.kinv.at[2].set(jnp.nan)
+    carry_bad = carry_b._replace(kinv=kinv_bad)
+    carry_out, out_b = step_b(carry_bad, snap_b, est_b)
+
+    st = np.asarray(out_b.status)
+    assert np.all((st == admm.SOLVED) | (st == admm.SOLVED_INACCURATE)), st
+    assert np.all(np.isfinite(np.asarray(carry_out.kinv)))
+
+    # per-lane reference: the original lane-mode guard, unbatched
+    for i in range(n):
+        carry_i = jax.tree.map(lambda a: a[i], carry_bad)
+        snap_i = jax.tree.map(lambda a: a[i], snap_b)
+        _, out_i = jax.jit(tick_with(base))(carry_i, snap_i, est_b[i])
+        np.testing.assert_allclose(np.asarray(out_b.throttle[i]),
+                                   np.asarray(out_i.throttle), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(out_b.thrust_des[i]),
+                                   np.asarray(out_i.thrust_des), atol=1e-2)
 
 
 def test_full_space_warm_start_recovery():
