@@ -266,6 +266,122 @@ def test_final_state_sequence(sequences):
     assert np.max(np.abs(lib_f - orc_f) / scale) < 5e-2
 
 
+# ---------------------------------------------------------------------------
+# recorded-flight streams: the same dual-controller replay, but on snapshot
+# streams captured from an actual mission flight (tools/record_flight_
+# snapshots.py) — real thrust magnitudes (47–154 N), the alphaGravity ramp
+# mid-takeoff / saturated at 1.0 airborne, real Jacobian conditioning, 120
+# ticks spanning 6 throttle-update boundaries. Catches conditioning-
+# sensitive errors the synthetic random-Jacobian stream cannot.
+# ---------------------------------------------------------------------------
+
+N_REC = 120
+
+
+@pytest.fixture(scope="module", params=["ramp", "airborne"])
+def recorded_sequences(request):
+    import dataclasses
+    from pathlib import Path
+
+    name = {"ramp": "flight_snapshots.npz",
+            "airborne": "flight_snapshots_air.npz"}[request.param]
+    npz = np.load(Path(__file__).parent / "golden" / name)
+
+    # the flight configuration (runtime/flight.build_flight_loop)
+    cfg = dataclasses.replace(MPCConfig(),
+                              weight_regularization_joint_pos=200.0)
+    sched = build_schedule(cfg)
+    sel = joint_selector(RobotConfig(), cfg)
+    settings = admm.ADMMSettings(max_iter=400, polish=True,
+                                 pallas_mode="off")
+
+    snap_fields = {f: npz[f"snap_{f}"] for f in RobotSnapshot._fields}
+    to_snap = lambda t: RobotSnapshot(
+        **{f: jnp.asarray(snap_fields[f][t], jnp.float32)
+           for f in RobotSnapshot._fields})
+    to_dict = lambda t: {k: np.asarray(snap_fields[k][t], np.float64)
+                         for k in ("w_R_b", "base_ang_vel_world", "com_pos",
+                                   "total_mass", "momentum_body",
+                                   "inertia_locked", "jet_axes_world",
+                                   "jet_arms_world", "jet_thrusts",
+                                   "rel_jac_lin", "rel_jac_ang",
+                                   "jac_jets_lin_joints", "jac_com_joints",
+                                   "joint_pos")}
+    est_tds = [np.asarray(npz["est_td"][t], np.float64)
+               for t in range(N_REC)]
+    channels = {k: np.asarray(npz[f"ch_{k}"], np.float64) for k in
+                ("positionCoM", "velocityCoM", "RPY", "RPYDot")}
+    alpha = np.asarray(npz["alpha"], np.float64)
+    initial_throttle = np.asarray(npz["initial_throttle"], np.float64)
+
+    problem, carry = mpc_mod.configure(
+        cfg, sched, sel, to_snap(0), channels, alpha, settings,
+        initial_throttle=jnp.asarray(initial_throttle, jnp.float32))
+    ocfg = dict(
+        n_iter=cfg.n_iter, n_iter_small=cfg.n_iter_small,
+        control_horizon=cfg.control_horizon,
+        dt_small=cfg.period_mpc_small_steps,
+        dt_large=cfg.period_mpc_large_steps,
+        w_com=np.asarray(cfg.weight_com_pos),
+        w_com_err=np.asarray(cfg.weight_com_pos_error),
+        w_lin=np.asarray(cfg.weight_lin_mom),
+        w_rpy=np.asarray(cfg.weight_rpy),
+        w_rpy_err=np.asarray(cfg.weight_rpy_error),
+        w_ang=np.asarray(cfg.weight_ang_mom),
+        w_dq=np.asarray(cfg.weight_delta_joint),
+        w_throttle=cfg.weight_throttle,
+        w_throttle0=cfg.weight_initial_throttle,
+        w_jreg=cfg.weight_regularization_joint_pos,
+        throttle_min=cfg.throttle_min, throttle_max=cfg.throttle_max,
+        joint_limits=cfg.use_joint_position_constraint,
+        joint_pos_min=np.deg2rad(cfg.joint_pos_min_deg),
+        joint_pos_max=np.deg2rad(cfg.joint_pos_max_deg),
+    )
+    omp = oracle.OracleMPC(
+        ocfg, to_dict(0), np.asarray(sel), channels, alpha,
+        initial_throttle, lambda_option=cfg.joints_lambda_option,
+        use_jet_dynamic=cfg.use_jet_dynamic,
+        use_estimated_thrust=cfg.use_estimated_thrust)
+
+    lib_out, orc_out = [], []
+    for t in range(N_REC):
+        est = jnp.asarray(est_tds[t], jnp.float32)
+        carry, out = mpc_mod.mpc_tick(cfg, sched, sel, settings, problem,
+                                      carry, to_snap(t + 1), est)
+        assert int(out.status) in (admm.SOLVED, admm.SOLVED_INACCURATE), \
+            f"recorded tick {t}: library status {int(out.status)}"
+        lib_out.append({k: np.asarray(getattr(out, k), np.float64)
+                        for k in ("joints_pos_ref", "throttle", "thrust_des",
+                                  "thrust_dot_des")})
+        orc_out.append(omp.tick(to_dict(t + 1), est_tds[t]))
+    return lib_out, orc_out
+
+
+def test_recorded_flight_joint_commands(recorded_sequences):
+    lib, orc = recorded_sequences
+    np.testing.assert_allclose(_series(lib, "joints_pos_ref"),
+                               _series(orc, "joints_pos_ref"), atol=2e-3)
+
+
+def test_recorded_flight_throttle_commands(recorded_sequences):
+    lib, orc = recorded_sequences
+    lib_t, orc_t = _series(lib, "throttle"), _series(orc, "throttle")
+    np.testing.assert_allclose(lib_t, orc_t, atol=0.15)
+    lib_changes = np.any(np.abs(np.diff(lib_t, axis=0)) > 1e-4, axis=1)
+    orc_changes = np.any(np.abs(np.diff(orc_t, axis=0)) > 1e-4, axis=1)
+    np.testing.assert_array_equal(lib_changes, orc_changes)
+    # the stream must actually span multiple multi-rate boundaries
+    assert lib_changes.sum() >= 5
+
+
+def test_recorded_flight_thrust_commands(recorded_sequences):
+    lib, orc = recorded_sequences
+    np.testing.assert_allclose(_series(lib, "thrust_des"),
+                               _series(orc, "thrust_des"), atol=0.5)
+    np.testing.assert_allclose(_series(lib, "thrust_dot_des"),
+                               _series(orc, "thrust_dot_des"), atol=2.0)
+
+
 def test_joint_limits_respected(sequences):
     """With the config-gated joint-position constraint on, the integrated
     command must stay inside the (deliberately tight) deg limits once the
