@@ -80,7 +80,29 @@ def main():
                                   snaps.momentum_body.dtype))
     est = jnp.zeros((batch, 4))
 
-    step = jax.jit(jax.vmap(tick, axis_name=admm.BATCH_GUARD_AXIS))
+    vtick = jax.vmap(tick, axis_name=admm.BATCH_GUARD_AXIS)
+    # BENCH_MESH=1: shard the scenario batch over every attached device via
+    # the production mesh (parallel/mesh.make_mesh) — the v5p-16 scaling
+    # curve runs this exact path the day a multi-chip slice is attached; on
+    # one chip it reduces to the plain vmap. CPU smoke:
+    #   env JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    #       BENCH_MESH=1 BENCH_BATCH=64 BENCH_ITERS=2 python bench.py
+    if os.environ.get("BENCH_MESH", "0") == "1":
+        from jax.sharding import PartitionSpec as P
+        from jax import shard_map
+
+        from ironcub_mpc_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        mesh = make_mesh(n_scenario=n_dev, n_kkt=1)
+        assert batch % n_dev == 0, (batch, n_dev)
+        step = jax.jit(shard_map(
+            vtick, mesh=mesh, in_specs=(P("scenario"),) * 3,
+            out_specs=(P("scenario"), P("scenario")), check_vma=False))
+        print(f"# BENCH_MESH: {n_dev} devices, {batch // n_dev} "
+              "scenarios/device", file=sys.stderr)
+    else:
+        step = jax.jit(vtick)
     # warmup / compile
     t0 = time.time()
     carries, out = step(carries, snaps, est)
