@@ -73,10 +73,13 @@ class MPCConfig:
     # the per-knot affine maps with jax.lax.associative_scan (log₂(nIter)
     # parallel depth — the SURVEY §2.6 horizon-parallel axis, for long
     # horizons); "sequential" is the forward chain. Measured on TPU v5e
-    # (tools/profile_solve_parts.py): at nIter=17 the chain wins at batch
-    # 512 (4.2 ms vs 13.7 ms — the batch axis already fills the MXU and
-    # assoc does ~2x FLOPs) and ties at batch 1, so it is the default;
-    # flip to "assoc" when nIter grows into the hundreds.
+    # (tools/profile_solve_parts.py): the chain wins at every measured
+    # point — nIter=17 batch 512: 3.9 vs 13.6 ms; nIter=128 batch 16:
+    # 6.6 vs 91 ms; nIter=128 batch 1: 4.2 vs 4.9 ms (assoc pays
+    # log2(nIter) levels ≈ 7x the FLOPs, and the batch axis already fills
+    # the MXU). Sequential is the measurement-justified default; "assoc"
+    # remains equivalence-tested for genuinely latency-bound long-horizon
+    # single-robot cases on faster-dispatch hosts.
     condense_mode: str = "sequential"
     # trajectory files (groups TRAJECTORY_MANAGER / POSITION_TRAJECTORY)
     alpha_gravity_trajectory: str = "data/trajectories/alpha_gravity.npz"

@@ -102,11 +102,15 @@ class ADMMSettings:
     # fused Pallas kernels for the ADMM segment + Woodbury refresh
     # (ops/pallas_solve.py): "auto" = on TPU backends, "on" = always
     # (interpret mode off-TPU; for tests), "off" = pure-JAX path.
-    # Measured on v5e (tools/profile_solve_parts.py): the Pallas kernels
-    # (K⁻¹ resident in VMEM, one dispatch per segment) win the LATENCY
-    # path (batch-1 sequential tick 0.40 vs 0.47 ms); the pure-JAX path
-    # (batched GEMMs across scenarios) wins THROUGHPUT at batch 512
-    # (42.1k vs 24.5k solves/s). Set "off" explicitly for large batched
+    # Measured on v5e (tools/profile_solve_parts.py, bench_segment_kernels,
+    # bench_joint_limits_latency): the Pallas kernels (K⁻¹ resident in
+    # VMEM, one dispatch per segment) win the LATENCY path — batch-1
+    # sequential tick 0.31 ms stock, and 0.391 vs 0.516 ms pure-JAX on the
+    # joint-limits config (n_box=120) — while the pure-JAX path (batched
+    # GEMMs; XLA pins the batched K⁻¹ in VMEM itself) wins THROUGHPUT at
+    # batch 512 (42.1k vs 24.5k solves/s; the isolated XLA segment is 48x
+    # faster than the best grouped kernel because per-scenario K⁻¹ mat-vecs
+    # can't widen onto the MXU). Set "off" explicitly for large batched
     # sweeps; "auto" suits the single-robot real-time loop.
     pallas_mode: str = "auto"
 

@@ -24,6 +24,18 @@ pallas batching rule turns the batch axis into a grid dimension).  Matmuls
 request ``Precision.HIGHEST`` — the QP does not survive bf16-grade f32
 passes (see the package-level precision note in README.md).
 
+Throughput verdict (measured, tools/bench_segment_kernels.py, v5e,
+batch 512 × 40 iterations): the XLA ``lax.scan`` segment runs the batch in
+0.046 ms — XLA itself pins the whole 33 MB batched K⁻¹ in VMEM across the
+scan and saturates the MXU with [512,·] batched GEMMs. The vmapped
+single-scenario kernel takes 4.15 ms (one grid step per scenario: [1,128]
+mat-vecs use 1/8 of the MXU sublanes and pay per-step overheads ×512), and
+the grouped kernel (``admm_segment_grouped``, 8 scenarios/program) 2.20 ms.
+A hand kernel cannot beat the compiler here because each scenario owns a
+distinct K⁻¹ — the mat-vec cannot be widened — so these kernels are the
+BATCH-1 LATENCY path only (0.31 ms stock / 0.391 vs 0.516 ms pure-JAX on
+the n_box=120 joint-limits config); batched throughput runs stock XLA.
+
 Vectors use a "full layout": length ``nU`` with box-constrained entries at
 ``box0:``, zero-padded to the 128-lane TPU tile.  Outside the box, ρ is 0
 and the duals stay identically zero, so no masks are needed in the
@@ -114,6 +126,73 @@ def admm_segment(Kinv_p, q_f, lb_f, ub_f, rho_f, rhoi_f, x_f, z_f, y_f,
     )(Kinv_p, q_f, lb_f, ub_f, rho_f, rhoi_f, x_f, z_f, y_f)
 
 
+def _segment_group_kernel(kinv_ref, q_ref, lb_ref, ub_ref, rho_ref,
+                          rhoi_ref, x_ref, z_ref, y_ref,
+                          xo_ref, zo_ref, yo_ref, *, sigma, alpha, length):
+    """G scenarios per grid step: K⁻¹s [G, P, P] resident in VMEM, iterate
+    vectors as [G, P] blocks. The per-scenario x ← K⁻¹rhs stays a distinct
+    [1, P]@[P, P] dot (each scenario has its own K⁻¹), but G of them issue
+    back-to-back per iteration — amortising grid-step and loop overheads —
+    and every elementwise update runs on native [8, 128] VPU tiles instead
+    of [1, 128] slivers."""
+    Kinv = kinv_ref[:]                    # [G, P, P]
+    G = Kinv.shape[0]
+    q = q_ref[:]
+    lb, ub = lb_ref[:], ub_ref[:]
+    rho, rhoi = rho_ref[:], rhoi_ref[:]
+
+    def body(_, carry):
+        x, z, y = carry                   # [G, P]
+        rhs = sigma * x - q + rho * z - y
+        x_t = jnp.concatenate(
+            [_dot(rhs[g:g + 1, :], Kinv[g]) for g in range(G)], axis=0)
+        x_n = alpha * x_t + (1.0 - alpha) * x
+        z_rel = alpha * x_t + (1.0 - alpha) * z
+        z_un = z_rel + y * rhoi
+        z_n = jnp.clip(z_un, lb, ub)
+        y_n = rho * (z_un - z_n)
+        return x_n, z_n, y_n
+
+    x, z, y = jax.lax.fori_loop(
+        0, length, body, (x_ref[:], z_ref[:], y_ref[:]))
+    xo_ref[:] = x
+    zo_ref[:] = z
+    yo_ref[:] = y
+
+
+def admm_segment_grouped(Kinv_b, q_b, lb_b, ub_b, rho_b, rhoi_b,
+                         x_b, z_b, y_b, *, sigma: float, alpha: float,
+                         length: int, group: int = 8):
+    """Batched ADMM segment, ``group`` scenarios per grid program.
+
+    Operands carry a leading batch axis B (divisible by ``group``):
+    ``Kinv_b`` is [B, P, P], vectors [B, P]. The batch is reshaped to
+    [B/G, G, ...] and G becomes an in-kernel block dimension — the
+    throughput counterpart of the vmapped single-scenario kernel (which
+    makes every scenario its own grid step). Returns updated (x, z, y)
+    shaped [B, P].
+    """
+    B, P = Kinv_b.shape[0], Kinv_b.shape[-1]
+    if B % group:
+        raise ValueError(f"batch {B} not divisible by group {group}")
+    n_g = B // group
+    km = Kinv_b.reshape(n_g, group, P, P)
+    vecs = [v.reshape(n_g, group, P)
+            for v in (q_b, lb_b, ub_b, rho_b, rhoi_b, x_b, z_b, y_b)]
+    vec = jax.ShapeDtypeStruct((group, P), Kinv_b.dtype)
+    kernel = functools.partial(_segment_group_kernel, sigma=float(sigma),
+                               alpha=float(alpha), length=int(length))
+    grid_call = pl.pallas_call(
+        kernel,
+        out_shape=(vec, vec, vec),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        interpret=_interpret(),
+    )
+    x, z, y = jax.vmap(grid_call)(km, *vecs)
+    return (x.reshape(B, P), z.reshape(B, P), y.reshape(B, P))
+
+
 # --------------------------------------------------------------------------
 # 2. fused Woodbury ρ-refresh + Newton–Schulz (with in-kernel GJ inverse)
 # --------------------------------------------------------------------------
@@ -129,27 +208,31 @@ def _woodbury_kernel(kinv_ref, h_ref, dcol_ref, rhocol_ref, out_ref,
     Kinv = kinv_ref[:]
     P = Kinv.shape[-1]
     gj_rows = max(8, ((n_box + 7) // 8) * 8)
+    # GJ buffer holds [M | I] side by side: 2·n_box lanes, padded up to a
+    # whole number of 128-lane tiles (1 tile for the stock n_box=24; 2 for
+    # the joint-limits config's n_box=120 → a [120, 256] VMEM buffer).
+    W = max(LANE, ((2 * n_box + LANE - 1) // LANE) * LANE)
 
     # Row selector Pr [gj_rows, P]: Pr[i, box0+i] = 1 for i < n_box, and its
-    # transpose-shaped column selector Pc [P, LANE]: Pc[box0+j, j] = 1.
+    # transpose-shaped column selector Pc [P, W]: Pc[box0+j, j] = 1.
     r_rp = jax.lax.broadcasted_iota(jnp.int32, (gj_rows, P), 0)
     c_rp = jax.lax.broadcasted_iota(jnp.int32, (gj_rows, P), 1)
     Pr = ((c_rp - box0 == r_rp) & (r_rp < n_box)).astype(dt_)
-    r_pl = jax.lax.broadcasted_iota(jnp.int32, (P, LANE), 0)
-    c_pl = jax.lax.broadcasted_iota(jnp.int32, (P, LANE), 1)
+    r_pl = jax.lax.broadcasted_iota(jnp.int32, (P, W), 0)
+    c_pl = jax.lax.broadcasted_iota(jnp.int32, (P, W), 1)
     Pc = ((r_pl - box0 == c_pl) & (c_pl < n_box)).astype(dt_)
 
     # --- capacitance M = I + diag(d_box) · K⁻¹[box, box], laid in the
-    # top-left of a [gj_rows, LANE] Gauss-Jordan buffer [M | I] ------------
+    # top-left of a [gj_rows, W] Gauss-Jordan buffer [M | I] ---------------
     S_pad = _dot(_dot(Pr, Kinv), Pc)           # K⁻¹[box,box] at top-left
     dblk = _dot(Pr, dcol_ref[:])               # [gj_rows, 1]
-    ids_r = jax.lax.broadcasted_iota(jnp.int32, (gj_rows, LANE), 0)
-    ids_c = jax.lax.broadcasted_iota(jnp.int32, (gj_rows, LANE), 1)
+    ids_r = jax.lax.broadcasted_iota(jnp.int32, (gj_rows, W), 0)
+    ids_c = jax.lax.broadcasted_iota(jnp.int32, (gj_rows, W), 1)
     eye_l = ((ids_r == ids_c) & (ids_r < n_box)).astype(dt_)
     eye_r = ((ids_c - n_box == ids_r) & (ids_r < n_box)).astype(dt_)
     buf = eye_l + dblk * S_pad + eye_r
 
-    # --- Gauss-Jordan [M | I] on the [gj_rows, 128] VMEM buffer -----------
+    # --- Gauss-Jordan [M | I] on the [gj_rows, W] VMEM buffer -------------
     # No pivoting: M is generically well-pivoted after equilibration and the
     # Newton–Schulz pass below squares away pivot noise (see
     # condensed._gj_inverse). Rows ≥ n_box stay identically zero.
@@ -172,8 +255,8 @@ def _woodbury_kernel(kinv_ref, h_ref, dcol_ref, rhocol_ref, out_ref,
     r_pr = jax.lax.broadcasted_iota(jnp.int32, (P, gj_rows), 0)
     c_pr = jax.lax.broadcasted_iota(jnp.int32, (P, gj_rows), 1)
     Q = ((r_pr - box0 == c_pr) & (c_pr < n_box)).astype(dt_)
-    r_lp = jax.lax.broadcasted_iota(jnp.int32, (LANE, P), 0)
-    c_lp = jax.lax.broadcasted_iota(jnp.int32, (LANE, P), 1)
+    r_lp = jax.lax.broadcasted_iota(jnp.int32, (W, P), 0)
+    c_lp = jax.lax.broadcasted_iota(jnp.int32, (W, P), 1)
     Rm = ((r_lp - n_box == c_lp - box0)
           & (c_lp >= box0) & (c_lp < box0 + n_box)).astype(dt_)
     E = _dot(_dot(Q, buf), Rm)
@@ -199,12 +282,8 @@ def woodbury_ns(Kinv_p, H_p, d_col, rho_new_col, *, box0: int, n_box: int,
     the box entries).  Batch with ``jax.vmap``.
     """
     P = Kinv_p.shape[-1]
-    if 2 * n_box > LANE:
-        # the in-kernel Gauss-Jordan stores [M | I] side by side in one
-        # 128-lane buffer; larger boxes must take the pure-JAX woodbury
-        raise ValueError(
-            f"woodbury_ns supports n_box <= {LANE // 2}, got {n_box}; "
-            "use pallas_mode='off' for larger box blocks")
+    if n_box > P:
+        raise ValueError(f"n_box={n_box} exceeds padded problem size {P}")
     kernel = functools.partial(_woodbury_kernel, box0=int(box0),
                                n_box=int(n_box), sigma=float(sigma),
                                n_ns=int(n_ns))

@@ -437,20 +437,16 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             lb_f = pv(jnp.full((nU,), -big, dt_).at[box0:].set(lb))
             ub_f = pv(jnp.full((nU,), big, dt_).at[box0:].set(ub))
 
-            if 2 * n_box <= pallas_solve.LANE:
-                def woodbury_k(Kinv_p, rho_old, rho_new):
-                    d_col = jnp.pad(to_full(rho_new - rho_old),
-                                    (0, P - nU))[:, None]
-                    r_col = jnp.pad(to_full(rho_new), (0, P - nU))[:, None]
-                    return pallas_solve.woodbury_ns(
-                        Kinv_p, H_p, d_col, r_col, box0=box0, n_box=n_box,
-                        sigma=settings.sigma, n_ns=2)
-            else:
-                # wide box (joint-position constraint on): the in-kernel GJ
-                # buffer can't hold [M | I]; keep the segment kernel, do the
-                # refresh in pure JAX on the unpadded matrix
-                def woodbury_k(Kinv_p, rho_old, rho_new):
-                    return lift(woodbury(lower(Kinv_p), rho_old, rho_new))
+            # fused for any box width: the kernel's GJ buffer spans
+            # ceil(2·n_box/128) lane tiles, so the joint-limits config
+            # (n_box=120, box0=0) keeps the fused latency path too
+            def woodbury_k(Kinv_p, rho_old, rho_new):
+                d_col = jnp.pad(to_full(rho_new - rho_old),
+                                (0, P - nU))[:, None]
+                r_col = jnp.pad(to_full(rho_new), (0, P - nU))[:, None]
+                return pallas_solve.woodbury_ns(
+                    Kinv_p, H_p, d_col, r_col, box0=box0, n_box=n_box,
+                    sigma=settings.sigma, n_ns=2)
 
             def run_segment_k(Kinv_p, rho_vec, x, z, y, length):
                 rho_f = pv(to_full(rho_vec))

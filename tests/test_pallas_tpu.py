@@ -68,6 +68,21 @@ x, z, y = ps.admm_segment(pad_m(Kinv), pad_r(q), pad_r(lb), pad_r(ub),
                           sigma=sigma, alpha=1.6, length=30)
 x = np.asarray(x)[0, :nU]
 assert np.isfinite(x).all(), "segment produced non-finite iterates"
+
+# wide-box woodbury (joint-limits config: n_box=120, box0=0 — the GJ
+# buffer spans two lane tiles); must lower, not only interpret
+n_box_w = nU
+rho_ow = np.full(nU, 0.5, np.float32)
+rho_nw = np.full(nU, 1.7, np.float32)
+Kw = A @ A.T / nU + nU * np.eye(nU, dtype=np.float32)
+Hw = Kw - sigma * np.eye(nU, dtype=np.float32) - np.diag(rho_ow)
+Kinvw = np.linalg.inv(Kw).astype(np.float32)
+outw = ps.woodbury_ns(pad_m(Kinvw), pad_m(Hw), pad_c(rho_nw - rho_ow),
+                      pad_c(rho_nw), box0=0, n_box=n_box_w, sigma=sigma,
+                      n_ns=2)
+Ktw = Hw + sigma * np.eye(nU, dtype=np.float32) + np.diag(rho_nw)
+residw = np.abs(np.asarray(outw)[:nU, :nU] @ Ktw - np.eye(nU)).max()
+assert residw < 1e-3, f"wide-box woodbury inverse residual {residw}"
 # x should approach the box-QP solution: check the unconstrained KKT
 # residual projected on the free head is small-ish after 30 iterations
 print("OK", float(resid), float(np.abs(x).max()))

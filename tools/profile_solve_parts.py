@@ -157,3 +157,55 @@ with jax.default_matmul_precision("highest"):
         return jnp.linalg.solve(M, d[:, None] * Kinv[box0:, :])
 
     bench("24x24 lin solve", jax.jit(jax.vmap(small_solve)), Kinvs)
+
+# --- horizon-parallel condensing payoff at a LONG horizon -------------------
+# The stock nIter=17 chain is too short for associative_scan to beat the
+# sequential unroll; this section shows the crossover at nIter=128 (the
+# horizon-parallel axis' measured win, not just an equivalence test).
+# Synthetic linearisation at the same block structure; both modes share
+# identical shapes, so the comparison isolates the scan algebra.
+import numpy as _np  # noqa: E402
+
+from ironcub_mpc_tpu.core.config import MPCConfig  # noqa: E402
+from ironcub_mpc_tpu.horizon import build_schedule  # noqa: E402
+from ironcub_mpc_tpu.qp.blocks import LinearizedDynamics  # noqa: E402
+
+# batch 16: the sequential mode's unrolled 128-step chain rematerialises
+# [B, 1, 26, nU] temporaries with a 128x-padding layout on chip — batch 64
+# OOMs a v5e; 16 fits both modes and the comparison is per-scenario anyway
+LONG_BATCH = min(BATCH, 16)
+cfg128 = _dc.replace(MPCConfig(), n_iter=128, n_iter_small=64,
+                     control_horizon=65)
+sched128 = build_schedule(cfg128)
+H_u128 = jnp.asarray(condensed.build_hu(cfg128), jnp.float32)
+rng = _np.random.default_rng(0)
+ns, nj, nt = cfg128.n_states, cfg128.n_ctrl_joints, cfg128.n_jets
+
+
+def rand_lin(_):
+    return LinearizedDynamics(
+        Ac=jnp.asarray(0.05 * rng.standard_normal((ns, ns)), jnp.float32),
+        BJ=jnp.asarray(rng.standard_normal((ns, nj)), jnp.float32),
+        BT=jnp.asarray(rng.standard_normal((ns, nt)), jnp.float32),
+        c=jnp.asarray(rng.standard_normal(ns), jnp.float32))
+
+
+lins = jax.tree.map(lambda *a: jnp.stack(a),
+                    *[rand_lin(i) for i in range(LONG_BATCH)])
+x0s = jnp.asarray(rng.standard_normal((LONG_BATCH, ns)), jnp.float32)
+refs = jnp.asarray(rng.standard_normal((LONG_BATCH, ns, cfg128.n_iter)),
+                   jnp.float32)
+q_diag128 = jnp.ones((ns,), jnp.float32)
+jreg = jnp.zeros((nj,), jnp.float32)
+tgrad = jnp.zeros((nt,), jnp.float32)
+thr = jnp.full((4,), 60.0, jnp.float32)
+
+for mode in ("sequential", "assoc"):
+    mcfg = _dc.replace(cfg128, condense_mode=mode)
+    fn = jax.jit(jax.vmap(lambda lin, x0, ref: condensed.condense(
+        mcfg, sched128, lin, x0, ref, q_diag128, H_u128, jreg, tgrad,
+        jnp.asarray(False), thr)))
+    _save_b = BATCH
+    BATCH = LONG_BATCH
+    bench(f"condense nIter=128 ({mode})", fn, lins, x0s, refs)
+    BATCH = _save_b
