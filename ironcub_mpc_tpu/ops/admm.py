@@ -76,6 +76,21 @@ class ADMMSettings:
     # with Woodbury + Newton–Schulz instead of re-factorising (the batched
     # Cholesky is the single most expensive kernel of the tick on TPU).
     kinv_carry: bool = True
+    # Newton–Schulz polish depth after each Woodbury refresh of the carried
+    # inverse (each step = two nU³ matmuls; quadratic convergence squares
+    # the inverse residual per step). ns_steps applies to the iteration-
+    # path refreshes (initial carry refresh + adaptive-ρ updates) — one
+    # step turns the ~1e-3 inverse residual of a 5 ms relinearisation
+    # drift into ~1e-6, factorisation grade, and kinv_guard refactorises
+    # the (rare) tick whose drift is too large for one step.
+    # polish_ns_steps=0 skips NS on the Schur-polish operator entirely:
+    # the polish_refine_iters iterations against the exact operator absorb
+    # an unpolished inverse, and the polish acceptance check (only take a
+    # polish that lowers the residuals) makes it safe by construction.
+    # Measured at batch 512 on v5e: (1,0) is ~5-7% more throughput than
+    # the conservative (2,2) at identical solved_frac/residuals.
+    ns_steps: int = 1
+    polish_ns_steps: int = 0
     # verify the refreshed carried inverse each tick and re-factorise via
     # lax.cond when Newton–Schulz left the contraction basin (large state
     # jump / NaN carry). Essentially free on the batch-1 real-time path

@@ -357,7 +357,7 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
                     chol, jnp.eye(nU, dtype=dt_), left_side=True, lower=True),
                 left_side=True, lower=True, transpose_a=True)
 
-        def woodbury(Kinv, rho_old, rho_new):
+        def woodbury(Kinv, rho_old, rho_new, n_ns=settings.ns_steps):
             """(K(ρ_new))⁻¹ from (K(ρ_old))⁻¹ — ρ only perturbs the n_box
             diagonal entries of K, so the one setup-time Cholesky is the
             *only* factorisation per solve: a rank-n_box update (two
@@ -382,7 +382,7 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             Knew = Kinv - Kinv[:, box0:] @ X
             K = H + settings.sigma * jnp.eye(nU, dtype=dt_)
             K = K.at[jnp.arange(box0, nU), jnp.arange(box0, nU)].add(rho_new)
-            for _ in range(2):
+            for _ in range(n_ns):
                 Knew = Knew @ (2.0 * jnp.eye(nU, dtype=dt_) - K @ Knew)
             return 0.5 * (Knew + Knew.T)
 
@@ -440,13 +440,14 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             # fused for any box width: the kernel's GJ buffer spans
             # ceil(2·n_box/128) lane tiles, so the joint-limits config
             # (n_box=120, box0=0) keeps the fused latency path too
-            def woodbury_k(Kinv_p, rho_old, rho_new):
+            def woodbury_k(Kinv_p, rho_old, rho_new,
+                           n_ns=settings.ns_steps):
                 d_col = jnp.pad(to_full(rho_new - rho_old),
                                 (0, P - nU))[:, None]
                 r_col = jnp.pad(to_full(rho_new), (0, P - nU))[:, None]
                 return pallas_solve.woodbury_ns(
                     Kinv_p, H_p, d_col, r_col, box0=box0, n_box=n_box,
-                    sigma=settings.sigma, n_ns=2)
+                    sigma=settings.sigma, n_ns=n_ns)
 
             def run_segment_k(Kinv_p, rho_vec, x, z, y, length):
                 rho_f = pv(to_full(rho_vec))
@@ -553,8 +554,12 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             rhs = -q
             rhs = rhs.at[box0:].add(active * b_act / delta)
             if settings.delta_polish == settings.sigma:
-                # G = K + Sᵀ(active/δ − ρ)S: reuse the setup factorisation
-                Ginv = lower(woodbury_k(Kinv, rho_vec, active / delta))
+                # G = K + Sᵀ(active/δ − ρ)S: reuse the setup factorisation.
+                # polish_ns_steps (not ns_steps): the refine iterations
+                # below run against the exact operator and absorb a less
+                # polished inverse.
+                Ginv = lower(woodbury_k(Kinv, rho_vec, active / delta,
+                                        settings.polish_ns_steps))
 
                 def g_apply(v):
                     Gv = H @ v + delta * v
