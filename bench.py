@@ -35,7 +35,10 @@ def main():
     import __graft_entry__ as ge
     from ironcub_mpc_tpu.ops import admm
 
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    # batch scaling measured with the (ns=1, polish_ns=0) solver defaults:
+    # 256 -> 36.4k, 512 -> 40.2k, 1024 -> 43.9k, 2048 -> 42.4k solves/s on
+    # v5e — 1024 is the sweet spot (512 was, before the leaner refreshes)
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     import dataclasses
 
