@@ -82,7 +82,11 @@ class ADMMSettings:
     # path refreshes (initial carry refresh + adaptive-ρ updates) — one
     # step turns the ~1e-3 inverse residual of a 5 ms relinearisation
     # drift into ~1e-6, factorisation grade, and kinv_guard refactorises
-    # the (rare) tick whose drift is too large for one step.
+    # the (rare) tick whose drift is too large for one step. Minimum 1:
+    # with ns_steps=0 the raw-f32 Woodbury error stalls the dual residual
+    # when adaptive ρ walks toward rho_min (measured: MAX_ITER on a plain
+    # hover tick) — the NS pass is what makes the refresh
+    # factorisation-grade, not an optional polish.
     # polish_ns_steps=0 skips NS on the Schur-polish operator entirely:
     # the polish_refine_iters iterations against the exact operator absorb
     # an unpolished inverse, and the polish acceptance check (only take a

@@ -157,6 +157,43 @@ def test_solver_state_recovery_after_corruption():
                                np.asarray(ref_out.thrust_des), atol=1e-2)
 
 
+@pytest.mark.parametrize("ns,pns", [(1, 0), (1, 1), (2, 2)])
+def test_ns_depth_knobs_all_solve(ns, pns):
+    """Supported Newton–Schulz depths (ns_steps ≥ 1) must keep the
+    carried-inverse path convergent across warm ticks and agree with the
+    conservative depths on the commands. ns_steps=0 is NOT supported:
+    without an NS pass the raw-f32 Woodbury error stalls the dual
+    residual when adaptive ρ walks toward rho_min (verified failing —
+    see the ADMMSettings.ns_steps docstring)."""
+    cfg = MPCConfig()
+    sched = build_schedule(cfg)
+    sel = joint_selector(RobotConfig(), cfg)
+    snap = make_hover_snapshot()
+    channels, alpha = make_test_trajectories()
+    settings = dataclasses.replace(SETTINGS, ns_steps=ns,
+                                   polish_ns_steps=pns, pallas_mode="off")
+    problem, carry = mpc_mod.configure(cfg, sched, sel, snap, channels,
+                                       alpha, settings)
+    est = jnp.zeros(4)
+    outs = []
+    for _ in range(6):
+        carry, out = mpc_mod.mpc_tick(cfg, sched, sel, settings, problem,
+                                      carry, snap, est)
+        assert int(out.status) in (admm.SOLVED, admm.SOLVED_INACCURATE)
+        outs.append(np.asarray(out.throttle))
+    if (ns, pns) != (2, 2):
+        settings_ref = dataclasses.replace(SETTINGS, ns_steps=2,
+                                           polish_ns_steps=2,
+                                           pallas_mode="off")
+        problem, carry = mpc_mod.configure(cfg, sched, sel, snap, channels,
+                                           alpha, settings_ref)
+        for k in range(6):
+            carry, out = mpc_mod.mpc_tick(cfg, sched, sel, settings_ref,
+                                          problem, carry, snap, est)
+            np.testing.assert_allclose(outs[k], np.asarray(out.throttle),
+                                       atol=5e-3)
+
+
 def test_batch_guard_recovers_corrupted_lane():
     """Batch-level kinv_guard (ADMMSettings.guard_axis): under
     ``vmap(axis_name=BATCH_GUARD_AXIS)`` the guard's any-lane-bad predicate
