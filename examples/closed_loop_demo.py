@@ -30,18 +30,7 @@ from ironcub_mpc_tpu.sim.jet_lstm import LSTMJetModel
 from ironcub_mpc_tpu.sim.plant import Plant
 
 
-def standing_state(plant, q0_deg):
-    """Place the robot so the sole corners touch the ground (the reference
-    aligns the base to l_sole; ironcub_mujoco_simulator.py:359-388)."""
-    kd = plant.kd
-    q0 = jnp.asarray(np.radians(q0_deg), kd.dtype)
-    ls = kd.fk(jnp.eye(3, dtype=kd.dtype), jnp.zeros(3, kd.dtype), q0)
-    z_min = 1e9
-    for name in ("l_sole", "r_sole"):
-        fr = kd.model.frames[name]
-        p_f = ls.p[fr.link] + ls.R[fr.link] @ jnp.asarray(fr.p, kd.dtype)
-        z_min = min(z_min, float(p_f[2]) - 0.002)
-    return plant.init_state(np.eye(3), np.array([0.0, 0.0, -z_min]), q0)
+from ironcub_mpc_tpu.runtime.flight import standing_state
 
 
 def main():

@@ -133,6 +133,16 @@ class ADMMSettings:
     # sweeps; "auto" suits the single-robot real-time loop.
     pallas_mode: str = "auto"
 
+    def __post_init__(self):
+        # ns_steps=0 is a verified-failing configuration (raw-f32 Woodbury
+        # error stalls the dual residual; see the ns_steps docstring above):
+        # fail fast instead of degrading at runtime.
+        if self.ns_steps < 1:
+            raise ValueError(f"ns_steps must be >= 1, got {self.ns_steps}")
+        if self.polish_ns_steps < 0:
+            raise ValueError(
+                f"polish_ns_steps must be >= 0, got {self.polish_ns_steps}")
+
 
 def pallas_enabled(settings: "ADMMSettings") -> bool:
     if settings.pallas_mode == "on":

@@ -282,8 +282,10 @@ def woodbury_ns(Kinv_p, H_p, d_col, rho_new_col, *, box0: int, n_box: int,
     the box entries).  Batch with ``jax.vmap``.
     """
     P = Kinv_p.shape[-1]
-    if n_box > P:
-        raise ValueError(f"n_box={n_box} exceeds padded problem size {P}")
+    if box0 < 0 or n_box < 1 or box0 + n_box > P:
+        raise ValueError(
+            f"box [{box0}, {box0 + n_box}) invalid for padded size {P} "
+            f"(need box0 >= 0, n_box >= 1, box0 + n_box <= P)")
     kernel = functools.partial(_woodbury_kernel, box0=int(box0),
                                n_box=int(n_box), sigma=float(sigma),
                                n_ns=int(n_ns))

@@ -365,9 +365,9 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             """(K(ρ_new))⁻¹ from (K(ρ_old))⁻¹ — ρ only perturbs the n_box
             diagonal entries of K, so the one setup-time Cholesky is the
             *only* factorisation per solve: a rank-n_box update (two
-            120×n_box matmuls + one n_box×n_box solve) plus two
-            Newton–Schulz steps replaces what the reference does with a
-            fresh OSQP setup. All matmuls — no sequential Cholesky /
+            120×n_box matmuls + one n_box×n_box solve) plus
+            ``settings.ns_steps`` Newton–Schulz steps replaces what the
+            reference does with a fresh OSQP setup. All matmuls — no sequential Cholesky /
             triangular solves, which dominate the batched solve on TPU.
 
             The Newton refinement matters: adaptive ρ can walk to ρ_min

@@ -28,10 +28,10 @@ import jax.numpy as jnp
 ROOT = Path(__file__).resolve().parents[2]
 
 
-def standing_state(plant, q0_deg):
-    """Place the robot so the sole corners touch the ground (the reference
-    aligns the base to l_sole; ironcub_mujoco_simulator.py:359-388)."""
-    kd = plant.kd
+def standing_geometry(kd, q0_deg):
+    """Sole-alignment geometry for the initial stance: joint vector (rad)
+    and the lowest sole z at identity base pose (the reference aligns the
+    base to l_sole; ironcub_mujoco_simulator.py:359-388)."""
     q0 = jnp.asarray(np.radians(q0_deg), kd.dtype)
     ls = kd.fk(jnp.eye(3, dtype=kd.dtype), jnp.zeros(3, kd.dtype), q0)
     z_min = 1e9
@@ -39,6 +39,12 @@ def standing_state(plant, q0_deg):
         fr = kd.model.frames[name]
         p_f = ls.p[fr.link] + ls.R[fr.link] @ jnp.asarray(fr.p, kd.dtype)
         z_min = min(z_min, float(p_f[2]) - 0.002)
+    return np.asarray(q0), z_min
+
+
+def standing_state(plant, q0_deg):
+    """Plant state with the robot standing, sole corners on the ground."""
+    q0, z_min = standing_geometry(plant.kd, q0_deg)
     return plant.init_state(np.eye(3), np.array([0.0, 0.0, -z_min]), q0)
 
 
@@ -127,8 +133,9 @@ def flight_stats(tel, period: float, total_mass: float | None = None) -> dict:
     # wrap-safe RPY error per axis
     rpy_err = np.abs((rpy - rpy_ref + 180.0) % 360.0 - 180.0)
     rpy_err_n = np.linalg.norm(rpy_err, axis=1)
+    from ..ops import admm
     st = np.asarray(tel.solver_status)
-    solved = (st == 1) | (st == 2)
+    solved = (st == admm.SOLVED) | (st == admm.SOLVED_INACCURATE)
     n = len(err)
     stats = {
         "ticks": int(n),

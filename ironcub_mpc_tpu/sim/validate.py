@@ -59,15 +59,7 @@ class PlantTrace(NamedTuple):
     status: np.ndarray     # [T]
 
 
-def _standing_geometry(kd, q0_deg):
-    q0 = jnp.asarray(np.radians(q0_deg), kd.dtype)
-    ls = kd.fk(jnp.eye(3, dtype=kd.dtype), jnp.zeros(3, kd.dtype), q0)
-    z_min = 1e9
-    for name in ("l_sole", "r_sole"):
-        fr = kd.model.frames[name]
-        p_f = ls.p[fr.link] + ls.R[fr.link] @ jnp.asarray(fr.p, kd.dtype)
-        z_min = min(z_min, float(p_f[2]) - 0.002)
-    return np.asarray(q0), z_min
+from ..runtime.flight import standing_geometry as _standing_geometry
 
 
 def _hold_channels():
