@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ironcub_mpc_tpu.core.config import MPCConfig, RobotConfig, SimConfig
-from ironcub_mpc_tpu.dynamics import KinDyn, build_ironcub_model
+from ironcub_mpc_tpu.dynamics import KinDyn, load_ironcub_model
 from ironcub_mpc_tpu.ops import admm
 from ironcub_mpc_tpu.runtime.loop import ClosedLoop
 from ironcub_mpc_tpu.runtime.trajectory import load_npz
@@ -37,7 +37,7 @@ def main():
     n_ticks = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     use_nn = "--nn-jets" in sys.argv
 
-    model = build_ironcub_model()
+    model = load_ironcub_model()
     kd = KinDyn(model)
     sim_cfg = SimConfig(use_nn_jet_dynamics=use_nn)
     lstm = LSTMJetModel(str(ROOT / "data/jet_lstm_weights.npz")) if use_nn else None

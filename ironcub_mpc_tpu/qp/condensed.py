@@ -162,6 +162,127 @@ def build_hu(cfg: MPCConfig) -> np.ndarray:
     return H
 
 
+def _mat3(M, X):
+    """[3,3] @ [3,W] written as broadcast-multiply + 3-term reduce so XLA
+    keeps it on the VPU fused with neighbours (a padded 3x3 MXU matmul would
+    waste >90% of the tile)."""
+    return (M[:, :, None] * X[None, :, :]).sum(axis=1)
+
+
+def _structured_chain(cfg: MPCConfig, sched: HorizonSchedule,
+                      lin: LinearizedDynamics, x0):
+    """Exact state propagation exploiting Ac's block structure.
+
+    The 26-state transition matrix the dense chain multiplies 17 times
+    (``sequential`` mode) is ~85% structural zeros (qp/blocks.py:105-169):
+    the only genuinely recursive states are the two momenta (3-dim each,
+    coupled to themselves by −S(ω)) and the per-jet (T, Ṫ) pairs (decoupled
+    2-dim diagonal systems). Everything else is an *integrator* of those:
+    CoM integrates R/m·h_lin, RPY integrates W⁻¹I⁻¹·h_ω, and the error
+    states integrate CoM/RPY — prefix sums, not chains. So the sequential
+    work shrinks from 17 dense [26,26]@[26,nU] matmuls to 17 elementwise
+    updates on [3, nU+1] / [4, nU+1] panels (VPU, fully fused), with every
+    coupling and every prefix sum computed in parallel outside the scan.
+    Produces bit-near-identical (F, f) to the dense chain.
+
+    The affine response f rides as column nU of each panel (free here:
+    nU+1 = 121 pads to the same 128-lane tile; the measured "augmented
+    column is slower" result applied to the dense-matmul layout only).
+    """
+    assert cfg.use_jet_dynamic, "structured condensing needs the jet chain"
+    ns = cfg.n_states
+    nU = n_inputs(cfg)
+    nj, nt, ch = cfg.n_ctrl_joints, cfg.n_jets, cfg.control_horizon
+    dt_ = lin.Ac.dtype
+    N = cfg.n_iter
+    W = nU + 1                                 # + affine column
+    dts = jnp.asarray(np.asarray(sched.dts), dt_)          # [N]
+
+    # static one-hot placement tensors (input blocking maps)
+    oh_j = np.zeros((N, nj, W), np.float32)    # joint-delta columns
+    oh_t = np.zeros((N, nt, W), np.float32)    # throttle columns
+    for k in range(N):
+        jc = sched.joint_knot_of_step[k] * nj
+        oh_j[k, :, jc:jc + nj] = np.eye(nj)
+        tc = nj * ch + sched.throttle_knot_of_step[k] * nt
+        oh_t[k, :, tc:tc + nt] = np.eye(nt)
+    oh_j = jnp.asarray(oh_j, dt_)
+    oh_t = jnp.asarray(oh_t, dt_)
+    aff = jnp.zeros((W,), dt_).at[nU].set(1.0)  # affine-column selector
+
+    def init_panel(rows):
+        return jnp.zeros((rows.stop - rows.start, W), dt_) \
+            .at[:, nU].set(x0[rows])
+
+    # --- jet subchain: per-jet (T, Ṫ) pairs, all elementwise ---------------
+    d1 = jnp.diagonal(lin.Ac[C.THRUST_DOT, C.THRUST])       # [4]
+    d2 = jnp.diagonal(lin.Ac[C.THRUST_DOT, C.THRUST_DOT])   # [4]
+    g_eff = jnp.diagonal(lin.BT[C.THRUST_DOT])              # [4]
+    c_td = lin.c[C.THRUST_DOT]                              # [4]
+    U_T = g_eff[None, :, None] * oh_t + c_td[None, :, None] * aff  # [N,4,W]
+    T0, Td0 = init_panel(C.THRUST), init_panel(C.THRUST_DOT)
+
+    def jet_step(carry, inp):
+        T, Td = carry
+        dtk, u = inp
+        T_n = T + dtk * Td
+        Td_n = Td + dtk * (d1[:, None] * T + d2[:, None] * Td + u)
+        return (T_n, Td_n), (T_n, Td_n)
+
+    _, (T_seq, Td_seq) = jax.lax.scan(jet_step, (T0, Td0), (dts, U_T))
+    T_pre = jnp.concatenate([T0[None], T_seq[:-1]], axis=0)   # [N,4,W]
+
+    # --- momentum subchains: 3-dim, coupled to themselves by −S(ω) ---------
+    S_lm = lin.Ac[C.LIN_MOM, C.LIN_MOM]
+    S_am = lin.Ac[C.ANG_MOM, C.ANG_MOM]
+    A_lin = lin.Ac[C.LIN_MOM, C.THRUST]        # [3,4]
+    A_ang = lin.Ac[C.ANG_MOM, C.THRUST]
+    # thrust coupling + joint-input + affine terms, for every step at once
+    V_lm = (jnp.einsum("ij,kjw->kiw", A_lin, T_pre)
+            + jnp.einsum("ij,kjw->kiw", lin.BJ[C.LIN_MOM], oh_j)
+            + lin.c[C.LIN_MOM][None, :, None] * aff)          # [N,3,W]
+    V_am = (jnp.einsum("ij,kjw->kiw", A_ang, T_pre)
+            + jnp.einsum("ij,kjw->kiw", lin.BJ[C.ANG_MOM], oh_j)
+            + lin.c[C.ANG_MOM][None, :, None] * aff)
+    lm0, am0 = init_panel(C.LIN_MOM), init_panel(C.ANG_MOM)
+
+    def mom_step(carry, inp):
+        lm, am = carry
+        dtk, v_lm, v_am = inp
+        lm_n = lm + dtk * (_mat3(S_lm, lm) + v_lm)
+        am_n = am + dtk * (_mat3(S_am, am) + v_am)
+        return (lm_n, am_n), (lm_n, am_n)
+
+    _, (lm_seq, am_seq) = jax.lax.scan(mom_step, (lm0, am0),
+                                       (dts, V_lm, V_am))
+    lm_pre = jnp.concatenate([lm0[None], lm_seq[:-1]], axis=0)
+    am_pre = jnp.concatenate([am0[None], am_seq[:-1]], axis=0)
+
+    # --- integrator states: parallel prefix sums over the horizon ----------
+    Rm = lin.Ac[C.COM_POS, C.LIN_MOM]          # R/m
+    WI = lin.Ac[C.RPY, C.ANG_MOM]              # W⁻¹ I⁻¹
+    d = dts[:, None, None]
+
+    def integrate(gain, src_pre, c_rows, x0_rows):
+        inc = d * (jnp.einsum("ij,kjw->kiw", gain, src_pre)
+                   + c_rows[None, :, None] * aff)
+        return jnp.cumsum(inc, axis=0) + init_panel(x0_rows)[None]
+
+    com_seq = integrate(Rm, lm_pre, lin.c[C.COM_POS], C.COM_POS)
+    rpy_seq = integrate(WI, am_pre, lin.c[C.RPY], C.RPY)
+    eye3 = jnp.eye(3, dtype=dt_)
+    com_pre = jnp.concatenate([init_panel(C.COM_POS)[None], com_seq[:-1]])
+    rpy_pre = jnp.concatenate([init_panel(C.RPY)[None], rpy_seq[:-1]])
+    pe_seq = integrate(eye3, com_pre, lin.c[C.POS_ERR], C.POS_ERR)
+    re_seq = integrate(eye3, rpy_pre, lin.c[C.RPY_ERR], C.RPY_ERR)
+
+    panels = jnp.concatenate(
+        [com_seq, lm_seq, rpy_seq, am_seq, T_seq, Td_seq, pe_seq, re_seq],
+        axis=1)                                # [N, 26, W]
+    assert panels.shape == (N, ns, W)
+    return panels[:, :, :nU], panels[:, :, nU]
+
+
 def condense(cfg: MPCConfig, sched: HorizonSchedule, lin: LinearizedDynamics,
              x0, state_reference, q_diag, H_u, joint_reg_grad,
              throttle_init_grad, pin_first_knot, throttle_cmd,
@@ -208,7 +329,9 @@ def condense(cfg: MPCConfig, sched: HorizonSchedule, lin: LinearizedDynamics,
             F_all = B_cum[:, :, :nU]                   # [nIter, 26, nU]
             f_all = (jnp.einsum("kab,b->ka", A_cum, x0)
                      + B_cum[:, :, nU])                # [nIter, 26]
-        elif cfg.condense_mode == "sequential":
+        elif cfg.condense_mode == "structured" and cfg.use_jet_dynamic:
+            F_all, f_all = _structured_chain(cfg, sched, lin, x0)
+        elif cfg.condense_mode in ("sequential", "structured"):
             # NOTE: an augmented-column variant (f riding as column nU of
             # F, one [26, nU+1] matmul per step) measured SLOWER on chip
             # (4.57 vs 3.78 ms at batch 512) — the separate matvec fuses
@@ -233,7 +356,7 @@ def condense(cfg: MPCConfig, sched: HorizonSchedule, lin: LinearizedDynamics,
         else:
             raise ValueError(
                 f"unknown condense_mode {cfg.condense_mode!r}; "
-                "expected 'assoc' or 'sequential'")
+                "expected 'assoc', 'sequential' or 'structured'")
         r = state_reference.T                      # [nIter, 26]
         # contract only over weighted states (thrust/thrustDot rows carry no
         # tracking cost — 18 of 26 rows for the stock weights): static

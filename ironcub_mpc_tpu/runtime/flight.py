@@ -53,14 +53,16 @@ def build_flight_loop(use_nn: bool = True, max_iter: int = 120,
     """Flight-configured :class:`~ironcub_mpc_tpu.runtime.loop.ClosedLoop`
     plus the converted reference trajectories (BASELINE config 3)."""
     from ..core.config import MPCConfig, RobotConfig, SimConfig
-    from ..dynamics import KinDyn, build_ironcub_model
+    from ..dynamics import KinDyn, load_ironcub_model
     from ..ops import admm
     from ..runtime.loop import ClosedLoop
     from ..runtime.trajectory import load_npz
     from ..sim.jet_lstm import LSTMJetModel
     from ..sim.plant import Plant, PlantParams
 
-    model = build_ironcub_model()
+    # flagship model: the calibrated Mk3 URDF through the reduction +
+    # re-rooting loader (Robot.cpp:82-103 contract)
+    model = load_ironcub_model()
     kd = KinDyn(model)
     sim_cfg = SimConfig(use_nn_jet_dynamics=use_nn)
     lstm = (LSTMJetModel(str(ROOT / "data/jet_lstm_weights.npz"))

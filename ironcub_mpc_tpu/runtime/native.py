@@ -73,8 +73,22 @@ def _load():
             lib.pacer_ticks.restype = ctypes.c_uint64
             lib.pacer_ticks.argtypes = [ctypes.c_void_p]
             lib.monotonic_ns.restype = ctypes.c_int64
+            if hasattr(lib, "ring_stress"):
+                lib.ring_stress.restype = ctypes.c_int
+                lib.ring_stress.argtypes = [ctypes.c_size_t, ctypes.c_size_t,
+                                            ctypes.c_uint64]
             return lib
     return None
+
+
+def ring_stress(capacity: int, record_len: int, n_records: int) -> int:
+    """Run the native concurrent SPSC stress (real producer vs consumer
+    thread; ctypes releases the GIL for the call's duration). Returns 0 on
+    success — see ironcub_rt.cc ring_stress for the error codes. Requires a
+    library built from sources that include it."""
+    if _LIB is None or not hasattr(_LIB, "ring_stress"):
+        raise RuntimeError("native ring_stress unavailable (rebuild needed)")
+    return int(_LIB.ring_stress(capacity, record_len, n_records))
 
 
 _LIB = _load()

@@ -56,8 +56,13 @@ class PlantState(NamedTuple):
 class PlantParams:
     kp: float = 1500.0         # joint PD stiffness (damping applied implicitly)
     kd: float = 30.0           # joint PD damping
-    contact_kp: float = 2.0e4  # ground spring
-    contact_kd: float = 300.0  # ground damper
+    # ground contact: stiff, well-damped penalty springs (MuJoCo-grade
+    # stiffness). Measured at the calibrated 70 kg model: static standing
+    # droop -0.7° pitch and a rocking mode at damping ratio ~0.6 — at the
+    # old (2e4, 300) the droop was -2.6° with a lightly-damped rock that
+    # the grounded MPC's arm action could pump into a backward topple.
+    contact_kp: float = 6.0e4  # ground spring
+    contact_kd: float = 900.0  # ground damper
     friction_mu: float = 0.8
     friction_vel: float = 0.02  # smooth-friction reference slip speed
     foot_half_x: float = 0.07

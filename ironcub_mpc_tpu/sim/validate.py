@@ -147,11 +147,11 @@ def compare_plants(n_ticks: int = 400, settle_s: float = 1.0,
     """
     from pathlib import Path
 
-    from ..dynamics import KinDyn, build_ironcub_model
+    from ..dynamics import KinDyn, load_ironcub_model
     from .jet_lstm import LSTMJetModel
 
     root = Path(__file__).resolve().parents[2]
-    model = build_ironcub_model()
+    model = load_ironcub_model()
     kd = KinDyn(model)
     cfg = MPCConfig()
     settings = admm.ADMMSettings(max_iter=max_iter,

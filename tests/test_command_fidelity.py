@@ -367,8 +367,12 @@ def test_recorded_flight_throttle_commands(recorded_sequences):
     lib, orc = recorded_sequences
     lib_t, orc_t = _series(lib, "throttle"), _series(orc, "throttle")
     np.testing.assert_allclose(lib_t, orc_t, atol=0.15)
-    lib_changes = np.any(np.abs(np.diff(lib_t, axis=0)) > 1e-4, axis=1)
-    orc_changes = np.any(np.abs(np.diff(orc_t, axis=0)) > 1e-4, axis=1)
+    # multi-rate boundary detection: real 10 Hz updates move throttle by
+    # O(0.1-1); 1e-3 rejects solver noise around an active throttle bound
+    # (the calibrated-model airborne stream runs near the 100% pin, where
+    # sub-1e-4 chatter on the held knots is ADMM tolerance, not an update)
+    lib_changes = np.any(np.abs(np.diff(lib_t, axis=0)) > 1e-3, axis=1)
+    orc_changes = np.any(np.abs(np.diff(orc_t, axis=0)) > 1e-3, axis=1)
     np.testing.assert_array_equal(lib_changes, orc_changes)
     # the stream must actually span multiple multi-rate boundaries
     assert lib_changes.sum() >= 5

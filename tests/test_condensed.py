@@ -119,6 +119,75 @@ def test_assoc_condensing_matches_sequential():
     np.testing.assert_allclose(qa.q, qs.q, rtol=0, atol=2e-5 * scale_q)
 
 
+def test_structured_condensing_matches_sequential():
+    """Block-structure-exploiting condensing (momenta chains + jet 2x2
+    chains + integrator prefix sums, condensed._structured_chain) reproduces
+    the dense sequential chain: identical F, f, H_c, q_c to f32 tolerance.
+    Run at a non-hover state (rng perturbed) so S(omega), the jet partials
+    and the lambda couplings are all nonzero."""
+    from ironcub_mpc_tpu.ops import jet_model as jm
+    from ironcub_mpc_tpu.qp import condensed
+
+    cfg_t = dataclasses.replace(MPCConfig(), condense_mode="structured")
+    cfg_s = dataclasses.replace(MPCConfig(), condense_mode="sequential")
+    sched = build_schedule(cfg_t)
+    sel = joint_selector(RobotConfig(), cfg_t)
+    snap = make_hover_snapshot(rng_seed=11)
+    channels, alpha = make_test_trajectories()
+    problem, carry = mpc_mod.configure(cfg_t, sched, sel, snap, channels,
+                                       alpha, SETTINGS)
+    est = jnp.full(4, 0.3)
+    carry2, prep = mpc_mod._tick_prep(cfg_t, sel, problem, carry, snap, est)
+    selA = jnp.asarray(sel)
+    q_diag = jnp.diagonal(problem.Q)
+    jreg = cfg_t.weight_regularization_joint_pos * (
+        carry2.joints_pos_ref[selA] - problem.joint_pos_ref_ctrl)
+    tgrad = -cfg_t.weight_initial_throttle * jm.throttle_to_v(
+        carry2.throttle_cmd)
+
+    def build(cfg):
+        return condensed.condense(
+            cfg, sched, prep.lin, prep.x0, prep.state_ref, q_diag,
+            problem.H_u, jreg, tgrad, prep.pin, carry2.throttle_cmd)
+
+    qt, qs = build(cfg_t), build(cfg_s)
+    np.testing.assert_allclose(qt.F, qs.F, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(qt.f, qs.f, rtol=0, atol=5e-5)
+    scale_h = float(jnp.max(jnp.abs(qs.H)))
+    np.testing.assert_allclose(qt.H, qs.H, rtol=0, atol=2e-5 * scale_h)
+    scale_q = float(jnp.max(jnp.abs(qs.q)))
+    np.testing.assert_allclose(qt.q, qs.q, rtol=0, atol=2e-5 * scale_q)
+    np.testing.assert_allclose(qt.lb, qs.lb, rtol=0, atol=0)
+    np.testing.assert_allclose(qt.ub, qs.ub, rtol=0, atol=0)
+
+
+def test_structured_condensing_full_mpc_tick():
+    """A whole mpc_tick under condense_mode='structured' produces the same
+    commands as under 'sequential' (the mode only changes how F/f are
+    built, so commands must agree to solver-noise tolerance)."""
+    cfgs = {m: dataclasses.replace(MPCConfig(), condense_mode=m)
+            for m in ("structured", "sequential")}
+    sched = build_schedule(cfgs["structured"])
+    sel = joint_selector(RobotConfig(), cfgs["structured"])
+    snap = make_hover_snapshot(rng_seed=3)
+    channels, alpha = make_test_trajectories()
+    outs = {}
+    for m, cfg in cfgs.items():
+        problem, carry = mpc_mod.configure(cfg, sched, sel, snap, channels,
+                                           alpha, SETTINGS)
+        for _ in range(3):
+            carry, out = mpc_mod.mpc_tick(cfg, sched, sel, SETTINGS,
+                                          problem, carry, snap,
+                                          jnp.zeros(4))
+        outs[m] = out
+    a, b = outs["structured"], outs["sequential"]
+    assert int(a.status) in (1, 2) and int(b.status) in (1, 2)
+    np.testing.assert_allclose(a.joints_pos_ref, b.joints_pos_ref,
+                               rtol=0, atol=1e-4)
+    np.testing.assert_allclose(a.throttle, b.throttle, rtol=0, atol=1e-2)
+    np.testing.assert_allclose(a.thrust_des, b.thrust_des, rtol=0, atol=1e-2)
+
+
 def test_solver_state_recovery_after_corruption():
     """One bad tick must not poison the 200 Hz loop: non-finite carried
     solver state (warm start, K⁻¹, ρ) is sanitized and the carried-inverse

@@ -9,9 +9,10 @@ instead of only showing up in the committed full-length artifact
 (FLIGHT_r03.json, produced by tools/fly_full_trajectory.py from the same
 code path; reference driver: src/variable_sampling_mpc.py:106-194).
 
-Bounds are ~3x the measured values on this 20 s slice (CPU, f32):
-solved 4000/4000, CoM RMSE 17.5 mm / max 42 mm, RPY RMSE 0.65° / max 2.1°,
-takeoff detected at 16.64 s.
+Measured on this 20 s slice with the calibrated 70 kg Mk3 model loaded
+through the URDF path (CPU, f32): solved 4000/4000, CoM RMSE 9.3 mm /
+max 30 mm, RPY RMSE 0.56° / max 0.84°, takeoff detected at 16.55 s.
+Bounds are ~3x and also cover the earlier 42 kg-model measurements.
 """
 
 import numpy as np

@@ -52,7 +52,7 @@ def test_total_mass(mj_state):
     mj, _ = mj_state
     import mujoco
     assert abs(MODEL.total_mass - mujoco.mj_getTotalmass(mj)) < 1e-6
-    assert 35.0 < MODEL.total_mass < 50.0  # iRonCub-like scale
+    assert abs(MODEL.total_mass - 70.0) < 1e-6  # published Mk3 figure
 
 
 def test_fk_matches_mujoco(mj_state, ours):

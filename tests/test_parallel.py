@@ -133,9 +133,9 @@ def test_failure_detection(loop_setup):
                           com_err_fail=0.04)
     batched = make_batched_carry(carry, 8, scen, seed=3)
     wind = batched.plant.wind_force.at[0].set(
-        jnp.asarray([4000.0, 0.0, 0.0], batched.plant.wind_force.dtype))
+        jnp.asarray([10000.0, 0.0, 0.0], batched.plant.wind_force.dtype))
     batched = batched._replace(plant=batched.plant._replace(wind_force=wind))
     mesh = make_mesh(n_scenario=8, n_kkt=1)
-    res = run_sweep(loop, problem, batched, n_ticks=8, mesh=mesh, scen=scen)
+    res = run_sweep(loop, problem, batched, n_ticks=12, mesh=mesh, scen=scen)
     assert int(res.n_failed) >= 1
     assert float(res.mean_com_err) < 0.04  # failed lane excluded from stats

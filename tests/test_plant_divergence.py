@@ -41,7 +41,51 @@ def test_trajectory_divergence_bounded(report):
 
 
 @pytest.mark.slow
-def test_jet_pipeline_identical_across_engines(report):
-    """The LSTM+EKF thrust chain is shared code driven by throttle only —
-    any divergence means the two sims stopped running the same jet model."""
-    assert report["thrust_div_max_n"] < 1e-3, report
+def test_jet_divergence_bounded_in_closed_loop(report):
+    """Closed-loop thrust divergence stays small. The chains are shared
+    code, but the controllers see (slightly) different plants and issue
+    (slightly) different throttle at the 10 Hz update points — sub-newton
+    divergence over 1.5 s is the expected closed-loop envelope, not a jet
+    model difference (that property is proven open-loop below)."""
+    assert report["thrust_div_max_n"] < 1.5, report
+
+
+def test_jet_pipeline_identical_open_loop():
+    """The LSTM+EKF thrust chain IS the same code in both engines: driven
+    by the SAME throttle schedule from the same thrust state, the two
+    engines' estimated thrusts must match to float tolerance
+    (nn_jet_model.py:86-109 / jet_kalman_filter.py:56-81 equivalents)."""
+    pytest.importorskip("mujoco")
+    from pathlib import Path
+
+    import numpy as np
+    import jax.numpy as jnp
+
+    from ironcub_mpc_tpu.core.config import RobotConfig, SimConfig
+    from ironcub_mpc_tpu.dynamics import KinDyn, load_ironcub_model
+    from ironcub_mpc_tpu.sim.jet_lstm import LSTMJetModel
+    from ironcub_mpc_tpu.sim.mujoco_sim import HostMujocoSim
+    from ironcub_mpc_tpu.sim.plant import Plant
+
+    root = Path(__file__).resolve().parents[1]
+    kd = KinDyn(load_ironcub_model())
+    sim_cfg = SimConfig(use_nn_jet_dynamics=True)
+    lstm = LSTMJetModel(str(root / "data/jet_lstm_weights.npz"))
+    plant = Plant(kd, RobotConfig(), sim_cfg, lstm=lstm)
+    mj = HostMujocoSim(kd, RobotConfig(), sim_cfg, lstm=lstm)
+
+    q0 = jnp.zeros(23)
+    s = plant.init_state(np.eye(3), np.array([0.0, 0.0, 1.0]), q0)
+    mj.set_state(np.eye(3), [0.0, 0.0, 1.0], np.asarray(q0))
+    # same piecewise-constant throttle schedule through both engines
+    rng = np.random.default_rng(7)
+    for step_i in range(6):
+        u = rng.uniform(20.0, 60.0, 4).astype(np.float32)
+        s = plant.set_throttle(s, jnp.asarray(u))
+        mj.set_throttle(u)
+        s = plant.step(s, 50)
+        mj.step(50)
+        a = np.asarray(plant.applied_thrust(s))
+        b = np.asarray(mj.get_estimated_thrust())
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-3,
+                                   err_msg=f"segment {step_i}")

@@ -215,3 +215,94 @@ def test_wrench_zmp_in_loop():
     snap_air, _ = loop.snapshot(s_air)
     assert not bool(snap_air.on_ground)
     np.testing.assert_allclose(np.asarray(snap_air.zmp), 0.0, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# sensor-noise injection (simulate_noise) — the reference's only
+# fault-injection mechanism (ironcub_mujoco_simulator.py:263-288)
+# ---------------------------------------------------------------------------
+
+
+def test_sensor_noise_statistics():
+    """measured_base_velocity adds Gaussian noise of the configured std and
+    advances the carried PRNG (distinct draws per call)."""
+    model = build_ironcub_model()
+    kd = KinDyn(model)
+    sim_cfg = SimConfig(use_nn_jet_dynamics=False, simulate_noise=True)
+    plant = Plant(kd, RobotConfig(), sim_cfg)
+    s = plant.init_state(np.eye(3), np.array([0.0, 0.0, 0.8]),
+                         jnp.zeros(23))
+
+    def draw(s, _):
+        lin, ang, s = plant.measured_base_velocity(s)
+        return s, jnp.concatenate([lin, ang])
+
+    _, samples = jax.lax.scan(draw, s, None, length=400)
+    samples = np.asarray(samples)
+    # truth is zero velocity; noise must be active on all six channels
+    assert samples.std(axis=0).min() > 0.5 * sim_cfg.noise_std_base_vel
+    np.testing.assert_allclose(samples.std(axis=0),
+                               sim_cfg.noise_std_base_vel,
+                               rtol=0.35)
+    np.testing.assert_allclose(samples.mean(axis=0), 0.0, atol=5e-3)
+    # consecutive draws differ (the key actually advances)
+    assert not np.allclose(samples[0], samples[1])
+
+
+def test_sensor_noise_closed_loop_bounded():
+    """Standing regulation with sensor noise ON: every tick still solves
+    and the robot stays put — and the noisy measurements really reach the
+    controller (telemetry differs from the noise-free run)."""
+    import sys
+    sys.path.insert(0, str(ROOT / "examples"))
+
+    from ironcub_mpc_tpu.runtime.loop import ClosedLoop
+    from ironcub_mpc_tpu.runtime.flight import standing_state
+
+    model = build_ironcub_model()
+    kd = KinDyn(model)
+    tels = {}
+    for noisy in (False, True):
+        plant = Plant(kd, RobotConfig(),
+                      SimConfig(use_nn_jet_dynamics=False,
+                                simulate_noise=noisy))
+        loop = ClosedLoop(plant, MPCConfig(), admm.ADMMSettings(max_iter=80))
+        s = standing_state(plant, SimConfig().initial_position_deg)
+        s = jax.jit(lambda s: loop.settle(s, 0.3))(s)
+        channels = {k: np.zeros((30, 3)) for k in
+                    ("positionCoM", "velocityCoM", "RPY", "RPYDot")}
+        problem, carry = loop.configure(s, channels, np.full(600, 0.08))
+        carry, tel = loop.rollout_jit()(problem, carry, 30)
+        tels[noisy] = tel
+        st = np.asarray(tel.solver_status)
+        assert np.all((st == admm.SOLVED) | (st == admm.SOLVED_INACCURATE)), (
+            noisy, st)
+    drift = np.linalg.norm(np.asarray(tels[True].com_position[-1])
+                           - np.asarray(tels[True].com_position[0]))
+    assert drift < 0.03, drift
+    # the noisy run's measured base velocities must differ from clean —
+    # the 1 kHz low-pass attenuates the injected noise heavily, so any
+    # clearly-nonzero divergence proves the branch is live (the magnitude
+    # itself is asserted by test_sensor_noise_statistics)
+    dv = np.abs(np.asarray(tels[True].base_lin_vel_filtered)
+                - np.asarray(tels[False].base_lin_vel_filtered)).max()
+    assert dv > 5e-6, dv
+
+
+def test_mujoco_sensor_noise_branch():
+    """HostMujocoSim's Gaussian noise branch (get_base_velocity /
+    get_base_angular_velocity) is active under simulate_noise=True."""
+    mujoco = pytest.importorskip("mujoco")  # noqa: F841
+    from ironcub_mpc_tpu.sim.mujoco_sim import HostMujocoSim
+
+    model = build_ironcub_model()
+    kd = KinDyn(model)
+    sim_cfg = SimConfig(use_nn_jet_dynamics=False, simulate_noise=True)
+    sim = HostMujocoSim(kd, RobotConfig(), sim_cfg)
+    sim.set_state(np.eye(3), [0.0, 0.0, 0.9], np.zeros(23))
+    lin = np.stack([sim.get_base_velocity() for _ in range(200)])
+    ang = np.stack([sim.get_base_angular_velocity() for _ in range(200)])
+    for arr in (lin, ang):
+        assert arr.std(axis=0).min() > 0.5 * sim_cfg.noise_std_base_vel
+        np.testing.assert_allclose(arr.std(axis=0),
+                                   sim_cfg.noise_std_base_vel, rtol=0.35)

@@ -37,7 +37,7 @@ import golden_oracle as oracle
 import __graft_entry__ as ge
 from ironcub_mpc_tpu.core.config import (MPCConfig, RobotConfig, SimConfig,
                                          joint_selector)
-from ironcub_mpc_tpu.dynamics import (KinDyn, build_ironcub_model,
+from ironcub_mpc_tpu.dynamics import (KinDyn, load_ironcub_model,
                                       compute_snapshot)
 from ironcub_mpc_tpu.horizon import build_schedule
 from ironcub_mpc_tpu.ops import admm
@@ -145,7 +145,7 @@ def record_case(cfg, sched, sel, settings, problem, carry, snap,
 
 def main():
     rc = RobotConfig()
-    model = build_ironcub_model()
+    model = load_ironcub_model()
     kd = KinDyn(model)
     q0 = np.radians(SimConfig().initial_position_deg)
 

@@ -9,7 +9,7 @@ alphaGravity ramp mid-takeoff, real Jacobian conditioning — so the oracle
 also certifies fidelity in the regime the mission actually flies
 (VERDICT r2 item 6).
 
-Usage: python tools/record_flight_snapshots.py [start_tick=2700] [n=120]
+Usage: python tools/record_flight_snapshots.py [start_tick=2700] [n=120] [out=flight_snapshots.npz]
 Writes tests/golden/flight_snapshots.npz:
   snap_<field>  [n+1, ...] every RobotSnapshot field, f32
   est_td        [n, 4]   EKF thrust-rate estimates fed to each tick
@@ -81,7 +81,8 @@ def main():
     out["meta_thrust_range"] = np.asarray(
         [out["snap_jet_thrusts"].min(), out["snap_jet_thrusts"].max()])
 
-    dest = ROOT / "tests/golden/flight_snapshots.npz"
+    dest = ROOT / "tests/golden" / (
+        args[2] if len(args) > 2 else "flight_snapshots.npz")
     np.savez_compressed(dest, **out)
     print(f"recorded {n} ticks from t={start_tick * loop.cfg.period_mpc:.2f}s"
           f" (thrust {out['meta_thrust_range'][0]:.1f}–"
