@@ -82,49 +82,91 @@ def make_batched_carry(carry: LoopCarry, n: int, scen: ScenarioConfig,
 
 def run_sweep(loop: ClosedLoop, problem, batched_carry: LoopCarry,
               n_ticks: int, mesh: Mesh,
-              scen: ScenarioConfig = ScenarioConfig()) -> SweepResult:
+              scen: ScenarioConfig = ScenarioConfig(),
+              chunk_ticks: int | None = None) -> SweepResult:
     """Run every scenario for ``n_ticks`` and reduce statistics on-device.
 
     The scenario batch is sharded over the mesh's "scenario" axis; each
     device scans its shard locally; the final statistics are ``psum``/``pmax``
     collectives. Works identically on one chip (mesh of 1) and a multi-host
     slice.
+
+    Statistics accumulate IN the scan carry — O(1) memory per lane instead
+    of materialising [n_ticks, ...] telemetry (full telemetry at 1024 lanes
+    x 2000 ticks is GBs). ``chunk_ticks`` splits the rollout into several
+    shorter device programs with the (carry, accumulators) threaded on
+    device between them — long-running single programs can trip worker
+    watchdogs (observed through the TPU tunnel at 1024 x 2000); chunking
+    bounds per-program wall time without changing the result.
     """
     n = batched_carry.plant.base_p.shape[0]
+    chunk = int(chunk_ticks) if chunk_ticks else int(n_ticks)
 
-    def rollout_one(carry):
-        carry, tel = loop.rollout(problem, carry, n_ticks)
-        com_err = jnp.linalg.norm(
-            tel.com_position - tel.com_position_desired, axis=-1)
-        finite = jnp.all(jnp.isfinite(tel.com_position))
-        max_err = jnp.where(finite, jnp.max(com_err), jnp.inf)
-        solved = jnp.mean(
-            (tel.solver_status == admm.SOLVED)
-            | (tel.solver_status == admm.SOLVED_INACCURATE))
-        any_bad = jnp.any(tel.solver_status >= admm.PRIMAL_INFEASIBLE)
-        failed = (~finite) | (max_err > scen.com_err_fail)
-        return max_err, solved, any_bad, failed
+    def roll_chunk_one(carry, max_err, sum_solved, any_bad, length):
+        def body(state, _):
+            carry, max_err, sum_solved, any_bad = state
+            carry, tel = loop.tick(problem, carry)
+            err = jnp.linalg.norm(tel.com_position
+                                  - tel.com_position_desired)
+            err = jnp.where(jnp.isfinite(err), err, jnp.inf)
+            max_err = jnp.maximum(max_err, err)
+            sum_solved = sum_solved + (
+                (tel.solver_status == admm.SOLVED)
+                | (tel.solver_status == admm.SOLVED_INACCURATE)
+            ).astype(jnp.float32)
+            any_bad = any_bad | (tel.solver_status >= admm.PRIMAL_INFEASIBLE)
+            return (carry, max_err, sum_solved, any_bad), None
 
-    @partial(shard_map, mesh=mesh, in_specs=(P("scenario"),),
+        state, _ = jax.lax.scan(body, (carry, max_err, sum_solved, any_bad),
+                                None, length=length)
+        return state
+
+    def chunk_fn(length):
+        @partial(jax.jit, static_argnums=())
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P("scenario"),) * 4, out_specs=(P("scenario"),) * 4,
+                 check_vma=False)
+        def step(shard_carry, max_err, sum_solved, any_bad):
+            # axis_name feeds the batch-level kinv_guard
+            # (ADMMSettings.guard_axis)
+            return jax.vmap(
+                lambda c, m, s, b: roll_chunk_one(c, m, s, b, length),
+                axis_name=admm.BATCH_GUARD_AXIS)(
+                    shard_carry, max_err, sum_solved, any_bad)
+        return step
+
+    carry = batched_carry
+    max_err = jnp.zeros((n,), jnp.float32)
+    sum_solved = jnp.zeros((n,), jnp.float32)
+    any_bad = jnp.zeros((n,), bool)
+    done = 0
+    step_full = chunk_fn(chunk)
+    while done < n_ticks:
+        length = min(chunk, n_ticks - done)
+        step = step_full if length == chunk else chunk_fn(length)
+        carry, max_err, sum_solved, any_bad = step(
+            carry, max_err, sum_solved, any_bad)
+        jax.block_until_ready(max_err)
+        done += length
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("scenario"),) * 3,
              out_specs=P(), check_vma=False)
-    def sweep(shard_carry):
-        # axis_name feeds the batch-level kinv_guard (ADMMSettings.guard_axis)
-        max_err, solved, any_bad, failed = jax.vmap(
-            rollout_one, axis_name=admm.BATCH_GUARD_AXIS)(shard_carry)
+    def reduce_stats(max_err, sum_solved, any_bad):
+        failed = (~jnp.isfinite(max_err)) | (max_err > scen.com_err_fail)
         healthy = ~failed
-        n_h = jnp.sum(healthy)
-        sum_err = jnp.sum(jnp.where(healthy, max_err, 0.0))
-        worst = jnp.max(jnp.where(healthy, max_err, -jnp.inf))
-        # ICI collectives: scalar reductions only
-        n_h = jax.lax.psum(n_h, "scenario")
-        sum_err = jax.lax.psum(sum_err, "scenario")
-        worst = jax.lax.pmax(worst, "scenario")
+        n_h = jax.lax.psum(jnp.sum(healthy), "scenario")
+        sum_err = jax.lax.psum(
+            jnp.sum(jnp.where(healthy, max_err, 0.0)), "scenario")
+        worst = jax.lax.pmax(
+            jnp.max(jnp.where(healthy, max_err, -jnp.inf)), "scenario")
         n_failed = jax.lax.psum(jnp.sum(failed), "scenario")
         n_bad = jax.lax.psum(jnp.sum(any_bad), "scenario")
-        solved_frac = jax.lax.pmean(jnp.mean(solved), "scenario")
+        solved_frac = jax.lax.pmean(jnp.mean(sum_solved / n_ticks),
+                                    "scenario")
         return (n_h, sum_err, worst, n_failed, n_bad, solved_frac)
 
-    n_h, sum_err, worst, n_failed, n_bad, solved_frac = sweep(batched_carry)
+    n_h, sum_err, worst, n_failed, n_bad, solved_frac = reduce_stats(
+        max_err, sum_solved, any_bad)
     return SweepResult(
         n_scenarios=jnp.asarray(n),
         n_failed=n_failed,

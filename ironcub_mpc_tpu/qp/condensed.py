@@ -283,6 +283,80 @@ def _structured_chain(cfg: MPCConfig, sched: HorizonSchedule,
     return panels[:, :, :nU], panels[:, :, nU]
 
 
+def _paired_chain(cfg: MPCConfig, sched: HorizonSchedule,
+                  lin: LinearizedDynamics, x0):
+    """Exact chain with HALF the sequential depth: consecutive steps share
+    the same Ac, so their transitions commute and a pair collapses to one
+    matrix — Ad_{k+1}·Ad_k = I + (dt_k+dt_{k+1})Ac + dt_k·dt_{k+1}·Ac²
+    (one tiny Ac² setup matmul; no cancellation risk at depth 2). The
+    chain then runs ⌈N/2⌉ sequential [26,·]@[·,nU+1] matmuls over the even
+    knots, and every odd/final knot is recovered afterwards in ONE batched
+    einsum — sequential latency halves while the recovered half runs at
+    batched-matmul utilisation. f rides as the affine column."""
+    ns = cfg.n_states
+    nU = n_inputs(cfg)
+    nj, nt, ch = cfg.n_ctrl_joints, cfg.n_jets, cfg.control_horizon
+    dt_ = lin.Ac.dtype
+    N = cfg.n_iter
+    W = nU + 1
+    eye = jnp.eye(ns, dtype=dt_)
+
+    # dense per-step input panels M̃_k = [M_k | dt_k c]
+    Mts = []
+    for k in range(N):
+        dtk = sched.dts[k]
+        Mk = jnp.zeros((ns, W), dt_)
+        jc = sched.joint_knot_of_step[k] * nj
+        Mk = Mk.at[:, jc:jc + nj].add(dtk * lin.BJ)
+        tc = nj * ch + sched.throttle_knot_of_step[k] * nt
+        Mk = Mk.at[:, tc:tc + nt].add(dtk * lin.BT)
+        Mk = Mk.at[:, nU].add(dtk * lin.c)
+        Mts.append(Mk)
+    Mt = jnp.stack(Mts)                                  # [N, 26, W]
+
+    n_pairs = N // 2
+    a = jnp.asarray(np.asarray(sched.dts)[0:2 * n_pairs:2], dt_)
+    b = jnp.asarray(np.asarray(sched.dts)[1:2 * n_pairs:2], dt_)
+    Ac2 = lin.Ac @ lin.Ac
+    Ad2 = (eye[None] + (a + b)[:, None, None] * lin.Ac[None]
+           + (a * b)[:, None, None] * Ac2[None])         # [P, 26, 26]
+    Ad_odd = eye[None] + b[:, None, None] * lin.Ac[None]
+    M2 = jnp.einsum("pij,pjw->piw", Ad_odd, Mt[0:2 * n_pairs:2]) \
+        + Mt[1:2 * n_pairs:2]
+
+    Ft = jnp.zeros((ns, W), dt_).at[:, nU].set(x0)       # F̃_(0)
+    evens = []
+    for p in range(n_pairs):
+        Ft = Ad2[p] @ Ft + M2[p]                         # F̃_(2p+2)
+        evens.append(Ft)
+
+    # recover odd knots (and the final knot when N is odd) in one batch:
+    # F̃_(2p+1) = Ad_(2p) F̃_(2p) + M̃_(2p); F̃_(N) = Ad_(N-1) F̃_(N-1) + M̃_(N-1)
+    prev = jnp.stack([jnp.zeros((ns, W), dt_).at[:, nU].set(x0)]
+                     + evens[:-1])                       # F̃_(2p), p=0..P-1
+    rec_dts = list(np.asarray(sched.dts)[0:2 * n_pairs:2])
+    rec_M = [Mt[2 * p] for p in range(n_pairs)]
+    rec_prev = [prev[p] for p in range(n_pairs)]
+    if N % 2 == 1:                                       # trailing odd step
+        rec_dts.append(float(sched.dts[N - 1]))
+        rec_M.append(Mt[N - 1])
+        rec_prev.append(evens[-1])
+    rd = jnp.asarray(np.asarray(rec_dts), dt_)
+    Ad_rec = eye[None] + rd[:, None, None] * lin.Ac[None]
+    rec = jnp.einsum("pij,pjw->piw", Ad_rec, jnp.stack(rec_prev)) \
+        + jnp.stack(rec_M)                               # odd knots (+final)
+
+    # interleave into knot order F̃_(1) .. F̃_(N)
+    panels = []
+    for p in range(n_pairs):
+        panels.append(rec[p])                            # F̃_(2p+1)
+        panels.append(evens[p])                          # F̃_(2p+2)
+    if N % 2 == 1:
+        panels.append(rec[n_pairs])                      # F̃_(N)
+    stacked = jnp.stack(panels)                          # [N, 26, W]
+    return stacked[:, :, :nU], stacked[:, :, nU]
+
+
 def condense(cfg: MPCConfig, sched: HorizonSchedule, lin: LinearizedDynamics,
              x0, state_reference, q_diag, H_u, joint_reg_grad,
              throttle_init_grad, pin_first_knot, throttle_cmd,
@@ -331,6 +405,8 @@ def condense(cfg: MPCConfig, sched: HorizonSchedule, lin: LinearizedDynamics,
                      + B_cum[:, :, nU])                # [nIter, 26]
         elif cfg.condense_mode == "structured" and cfg.use_jet_dynamic:
             F_all, f_all = _structured_chain(cfg, sched, lin, x0)
+        elif cfg.condense_mode == "paired":
+            F_all, f_all = _paired_chain(cfg, sched, lin, x0)
         elif cfg.condense_mode in ("sequential", "structured"):
             # NOTE: an augmented-column variant (f riding as column nU of
             # F, one [26, nU+1] matmul per step) measured SLOWER on chip
@@ -356,7 +432,7 @@ def condense(cfg: MPCConfig, sched: HorizonSchedule, lin: LinearizedDynamics,
         else:
             raise ValueError(
                 f"unknown condense_mode {cfg.condense_mode!r}; "
-                "expected 'assoc', 'sequential' or 'structured'")
+                "expected 'assoc', 'sequential', 'structured' or 'paired'")
         r = state_reference.T                      # [nIter, 26]
         # contract only over weighted states (thrust/thrustDot rows carry no
         # tracking cost — 18 of 26 rows for the stock weights): static

@@ -129,6 +129,7 @@ def test_structured_condensing_matches_sequential():
     from ironcub_mpc_tpu.qp import condensed
 
     cfg_t = dataclasses.replace(MPCConfig(), condense_mode="structured")
+    cfg_p = dataclasses.replace(MPCConfig(), condense_mode="paired")
     cfg_s = dataclasses.replace(MPCConfig(), condense_mode="sequential")
     sched = build_schedule(cfg_t)
     sel = joint_selector(RobotConfig(), cfg_t)
@@ -151,6 +152,11 @@ def test_structured_condensing_matches_sequential():
             problem.H_u, jreg, tgrad, prep.pin, carry2.throttle_cmd)
 
     qt, qs = build(cfg_t), build(cfg_s)
+    qp_ = build(cfg_p)
+    np.testing.assert_allclose(qp_.F, qs.F, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(qp_.f, qs.f, rtol=0, atol=5e-5)
+    np.testing.assert_allclose(
+        qp_.H, qs.H, rtol=0, atol=2e-5 * float(jnp.max(jnp.abs(qs.H))))
     np.testing.assert_allclose(qt.F, qs.F, rtol=0, atol=5e-5)
     np.testing.assert_allclose(qt.f, qs.f, rtol=0, atol=5e-5)
     scale_h = float(jnp.max(jnp.abs(qs.H)))

@@ -1,0 +1,40 @@
+#!/usr/bin/env python
+"""Capture the host-in-the-loop real-time artifact (RT_r{N}.json).
+
+Runs examples/realtime_driver.py's loop — native absolute-deadline pacer +
+donated-buffer jitted tick + SPSC telemetry ring — for n_ticks at the
+reference 5 ms period on the CPU backend (the TPU here sits behind a
+~25 ms network tunnel, so CPU is the honest host-in-the-loop backend;
+reference contract: variable_sampling_mpc.py:110-123).
+
+Usage: env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+          python tools/capture_rt.py [n_ticks=2500] [out=RT_r04.json]
+"""
+
+import json
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+sys.path.insert(0, str(ROOT / "examples"))
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2500
+    out = ROOT / (sys.argv[2] if len(sys.argv) > 2 else "RT_r04.json")
+
+    import jax
+
+    import realtime_driver
+
+    stats = realtime_driver.run(n_ticks=n, period_s=0.005, verbose=True)
+    stats["period_ms"] = 5.0
+    stats["backend"] = jax.default_backend()
+    stats["overrun_frac"] = round(stats["overruns"] / n, 5)
+    out.write_text(json.dumps(stats, indent=1) + "\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

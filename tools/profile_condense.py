@@ -76,7 +76,7 @@ def cond_fn(carry, prep, mcfg):
 FLOP_CHAIN = N * 2 * ns * ns * nU
 FLOP_H = 2 * (N * 18) * nU * nU
 
-for mode in ("sequential", "structured"):
+for mode in ("sequential", "structured", "paired"):
     mcfg = dataclasses.replace(cfg, condense_mode=mode)
     bench(f"{mode[:10]}-full", jax.jit(jax.vmap(
         lambda c, p, m=mcfg: cond_fn(c, p, m))), carries, preps,
@@ -107,10 +107,16 @@ def chain_struct(lin, x0):
     return condensed._structured_chain(cfg, sched, lin, x0)
 
 
+def chain_paired(lin, x0):
+    return condensed._paired_chain(cfg, sched, lin, x0)
+
+
 with jax.default_matmul_precision("highest"):
     Ffs = bench("chain-seq", jax.jit(jax.vmap(chain_seq)),
                 preps.lin, preps.x0, flop_per_item=FLOP_CHAIN)
     bench("chain-struct", jax.jit(jax.vmap(chain_struct)),
+          preps.lin, preps.x0, flop_per_item=FLOP_CHAIN)
+    bench("chain-paired", jax.jit(jax.vmap(chain_paired)),
           preps.lin, preps.x0, flop_per_item=FLOP_CHAIN)
 
     F_all, f_all = Ffs

@@ -99,7 +99,7 @@ def main():
               f"wind std {w_std:.0f} N on {n_dev} device(s) "
               f"[{jax.devices()[0].platform}] ...", flush=True)
         res = run_sweep(loop, problem, batched, n_ticks=n_ticks, mesh=mesh,
-                        scen=scen)
+                        scen=scen, chunk_ticks=250)
         jax.block_until_ready(res.mean_com_err)
         levels_out.append({
             "wind_force_std_n": w_std,
