@@ -583,11 +583,17 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             else:
                 X = jnp.linalg.solve(M, B)
             Knew = Kinv - Kinv[:, box0:] @ X
+            return ns_polish(Knew, rho_new, n_ns)
+
+        def ns_polish(Kinv_l, rho_new, n_ns):
+            """Newton–Schulz against K built from the *current* H — the
+            drift-absorbing half of the refresh, also used standalone when
+            ρ is unchanged and the rank-update half can be skipped."""
             K = H + settings.sigma * jnp.eye(nU, dtype=dt_)
             K = K.at[jnp.arange(box0, nU), jnp.arange(box0, nU)].add(rho_new)
             for _ in range(n_ns):
-                Knew = Knew @ (2.0 * jnp.eye(nU, dtype=dt_) - K @ Knew)
-            return 0.5 * (Knew + Knew.T)
+                Kinv_l = Kinv_l @ (2.0 * jnp.eye(nU, dtype=dt_) - K @ Kinv_l)
+            return 0.5 * (Kinv_l + Kinv_l.T)
 
         x = jnp.zeros((nU,), dt_) if warm_u is None else warm_u / D
         y = jnp.zeros((n_box,), dt_) if warm_y is None else warm_y * c_s / E
@@ -675,6 +681,27 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             dua_s = jnp.max(jnp.abs((H @ x) / D)) / c_s
             return pri, dua, pri_s, dua_s
 
+        def k_apply(v, rho_v):
+            """K(ρ)·v without materialising K."""
+            Kv = H @ v + settings.sigma * v
+            return Kv.at[box0:].add(rho_v * v[box0:])
+
+        def kinv_probe_resid(Kinv_l, rho_v):
+            """Inverse-quality residual via two probe matvecs.
+
+            The guard exists to catch carried inverses that left the
+            Newton–Schulz contraction basin (big inter-tick state jump /
+            NaN carry) — a blown inverse is wrong in every direction, so
+            ‖K·(X v) − v‖∞ on fixed probes detects it at matvec cost
+            instead of the [nU,nU] ‖I − K·X‖ matmul (measured ~1.2 ms per
+            batched tick at 512 lanes, ~10% of the whole tick, spent
+            re-verifying good inverses)."""
+            v1 = jnp.ones((nU,), dt_).at[1::2].set(-1.0)
+            v2 = jnp.linspace(-1.0, 1.0, nU, dtype=dt_)
+            r1 = jnp.max(jnp.abs(k_apply(Kinv_l @ v1, rho_v) - v1))
+            r2 = jnp.max(jnp.abs(k_apply(Kinv_l @ v2, rho_v) - v2))
+            return jnp.maximum(r1, r2)
+
         marks = [i for i in settings.rho_update_iters if i < settings.max_iter]
         bounds = [0] + marks + [settings.max_iter]
         rho_scalar = rho_scalar0
@@ -689,7 +716,24 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             kp = jnp.where(jnp.isfinite(kinv_prev), kinv_prev, 0.0)
             rp = jnp.where(jnp.isfinite(rho_prev) & (rho_prev > 0),
                            rho_prev, rho_vec)
-            Kinv = woodbury_k(lift(kp), rp, rho_vec)
+            if settings.guard_axis is None:
+                Kinv = woodbury_k(lift(kp), rp, rho_vec)
+            else:
+                # batched-guarded path: ρ differs from the carry only when
+                # the 20-tick pin pattern toggled (~5% of ticks), so the
+                # rank-n_box correction is skipped — via a REAL branch,
+                # psum-reduced over the batch axis — whenever no lane's ρ
+                # moved; the NS polish against the current H (the part
+                # that absorbs relinearisation drift) always runs.
+                d_any = jax.lax.psum(
+                    jnp.any(jnp.abs(rho_vec - rp) > 0).astype(jnp.int32),
+                    settings.guard_axis)
+                Kinv = jax.lax.cond(
+                    d_any > 0,
+                    lambda k: woodbury_k(k, rp, rho_vec),
+                    lambda k: lift(ns_polish(lower(k), rho_vec,
+                                             settings.ns_steps)),
+                    lift(kp))
             if settings.kinv_guard:
                 # Newton–Schulz only contracts from ‖I − K·X‖ < 1: a large
                 # inter-tick state jump (gust, contact, reset) can push the
@@ -697,11 +741,7 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
                 # diverges. Verify the inverse residual and re-factorise on
                 # failure — lax.cond, so the real-time batch-1 path pays
                 # the Cholesky only on the (rare) bad tick.
-                K_chk = H + settings.sigma * jnp.eye(nU, dtype=dt_)
-                K_chk = K_chk.at[jnp.arange(box0, nU),
-                                 jnp.arange(box0, nU)].add(rho_vec)
-                resid = jnp.max(jnp.abs(
-                    jnp.eye(nU, dtype=dt_) - K_chk @ lower(Kinv)))
+                resid = kinv_probe_resid(lower(Kinv), rho_vec)
                 bad = ~jnp.isfinite(resid) | (resid > 0.1)
                 if settings.guard_axis is not None:
                     # Batch-level guard: under vmap(axis_name=guard_axis)
@@ -739,56 +779,79 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
                 rho_new = jnp.where(eq, rho_scalar * settings.rho_eq_scale,
                                     rho_scalar)
                 rho_new = jnp.where(upd, rho_new, rho_vec)
-                Kinv = woodbury_k(Kinv, rho_vec, rho_new)
+                if settings.guard_axis is None:
+                    Kinv = woodbury_k(Kinv, rho_vec, rho_new)
+                else:
+                    # with a carried warm start most ticks keep ρ: skip
+                    # the Woodbury+NS refresh via a REAL branch when no
+                    # lane's adaptive-ρ test fired (psum over the batch
+                    # axis, same mechanism as the recovery guard)
+                    n_upd = jax.lax.psum(upd.astype(jnp.int32),
+                                         settings.guard_axis)
+                    Kinv = jax.lax.cond(
+                        n_upd > 0,
+                        lambda k: woodbury_k(k, rho_vec, rho_new),
+                        lambda k: k, Kinv)
                 rho_vec = rho_new
 
         kinv_out, rho_out, rho_scalar_out = lower(Kinv), rho_vec, rho_scalar
 
         # --- Schur polish on the active box set ---------------------------
         if settings.polish:
-            delta = jnp.asarray(settings.delta_polish, dt_)
-            low = (y < 0) | eq
-            up = (y > 0) | eq
-            active = (low | up).astype(dt_)
-            b_act = jnp.where(y < 0, lb, ub)
-            b_act = jnp.where(eq, ub, b_act)
-            # KKT [[H+δI, Sᵀ_a],[S_a, -δI]] reduced: (H + δI + SᵀaSa/δ) x =
-            # -q + Sᵀa b/δ
-            rhs = -q
-            rhs = rhs.at[box0:].add(active * b_act / delta)
-            if settings.delta_polish == settings.sigma:
-                # G = K + Sᵀ(active/δ − ρ)S: reuse the setup factorisation.
-                # polish_ns_steps (not ns_steps): the refine iterations
-                # below run against the exact operator and absorb a less
-                # polished inverse.
-                Ginv = lower(woodbury_k(Kinv, rho_vec, active / delta,
-                                        settings.polish_ns_steps))
+            def do_polish(ops):
+                x, z, y = ops
+                delta = jnp.asarray(settings.delta_polish, dt_)
+                low = (y < 0) | eq
+                up = (y > 0) | eq
+                active = (low | up).astype(dt_)
+                b_act = jnp.where(y < 0, lb, ub)
+                b_act = jnp.where(eq, ub, b_act)
+                # KKT [[H+δI, Sᵀ_a],[S_a, -δI]] reduced:
+                # (H + δI + SᵀaSa/δ) x = -q + Sᵀa b/δ
+                rhs = -q
+                rhs = rhs.at[box0:].add(active * b_act / delta)
+                if settings.delta_polish == settings.sigma:
+                    # G = K + Sᵀ(active/δ − ρ)S: reuse the setup
+                    # factorisation. polish_ns_steps (not ns_steps): the
+                    # refine iterations below run against the exact
+                    # operator and absorb a less polished inverse.
+                    Ginv = lower(woodbury_k(Kinv, rho_vec, active / delta,
+                                            settings.polish_ns_steps))
 
-                def g_apply(v):
-                    Gv = H @ v + delta * v
-                    return Gv.at[box0:].add(active * v[box0:] / delta)
+                    def g_apply(v):
+                        Gv = H @ v + delta * v
+                        return Gv.at[box0:].add(active * v[box0:] / delta)
 
-                x_p = Ginv @ rhs
-                for _ in range(settings.polish_refine_iters):
-                    x_p = x_p + Ginv @ (rhs - g_apply(x_p))
-            else:
-                G = H + delta * jnp.eye(nU, dtype=dt_)
-                G = G.at[jnp.arange(box0, nU), jnp.arange(box0, nU)].add(
-                    active / delta)
-                cholG = jnp.linalg.cholesky(G)
-                x_p = admm._cho_solve(cholG, rhs)
-                for _ in range(settings.polish_refine_iters):
-                    # refinement against the same regularised operator
-                    r = rhs - (G @ x_p)
-                    x_p = x_p + admm._cho_solve(cholG, r)
-            y_p = jnp.where(active > 0, (x_p[box0:] - b_act) / delta, 0.0)
-            z_p = jnp.clip(x_p[box0:], lb, ub)
-            p0, d0, _, _ = residuals(x, z, y)
-            p1, d1, _, _ = residuals(x_p, z_p, y_p)
-            better = (p1 + d1) < (p0 + d0)
-            x = jnp.where(better, x_p, x)
-            z = jnp.where(better, z_p, z)
-            y = jnp.where(better, y_p, y)
+                    x_p = Ginv @ rhs
+                    for _ in range(settings.polish_refine_iters):
+                        x_p = x_p + Ginv @ (rhs - g_apply(x_p))
+                else:
+                    G = H + delta * jnp.eye(nU, dtype=dt_)
+                    G = G.at[jnp.arange(box0, nU),
+                             jnp.arange(box0, nU)].add(active / delta)
+                    cholG = jnp.linalg.cholesky(G)
+                    x_p = admm._cho_solve(cholG, rhs)
+                    for _ in range(settings.polish_refine_iters):
+                        # refinement against the same regularised operator
+                        r = rhs - (G @ x_p)
+                        x_p = x_p + admm._cho_solve(cholG, r)
+                y_p = jnp.where(active > 0, (x_p[box0:] - b_act) / delta,
+                                0.0)
+                z_p = jnp.clip(x_p[box0:], lb, ub)
+                p0, d0, _, _ = residuals(x, z, y)
+                p1, d1, _, _ = residuals(x_p, z_p, y_p)
+                better = (p1 + d1) < (p0 + d0)
+                return (jnp.where(better, x_p, x),
+                        jnp.where(better, z_p, z),
+                        jnp.where(better, y_p, y))
+
+            # NOTE a conditional polish (skip via psum-guarded cond when
+            # every lane is already ~100x inside tolerance) measured
+            # NEUTRAL-to-negative at batch 1024 on chip (43.3/43.9/42.1k
+            # vs 47.1k unconditional under comparable tunnel health): the
+            # 0-NS Schur polish is only ~1 ms of the batched tick and the
+            # branch machinery eats the saving. Unconditional it stays.
+            x, z, y = do_polish((x, z, y))
 
         pri, dua, pri_s, dua_s = residuals(x, z, y)
         solved = ((pri <= settings.eps_abs + settings.eps_rel * pri_s)
