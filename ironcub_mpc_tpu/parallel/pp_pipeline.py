@@ -13,8 +13,26 @@ Each pipe device owns one stage. Scenario micro-batches enter at S0; every
 step each device applies its stage to its resident payload and passes the
 result to the next device with ``lax.ppermute`` over ICI (GPipe-style
 schedule, ``n_micro + 3`` steps, no weight state so no flush hazards). The
-payload is the union of all stage products (fixed shapes, zero-filled until
+payload is the union of the stage products (fixed shapes, zero-filled until
 produced) so the ring carries one homogeneous pytree.
+
+The ring is SLIMMED to what actually crosses an edge (default, debug off):
+
+- the measured robot state (``snap``/``est``) never rides the ring — it is
+  only consumed at S0, where the static GPipe schedule knows which
+  micro-batch is being injected, so S0 reads it from the replicated input;
+- the state-from-input map ``F``/``f`` is sliced to knots (0, −1) after
+  condensing — the solve's ``states`` output is only ever read at those
+  two knots (thrust/thrust-rate extraction and the final state,
+  variableSamplingMPC.cpp:93-108), while the H/q fold that needs all 17
+  knots happens inside S1 before the send;
+- the refreshed carried K⁻¹/ρ are folded into the carry AT S2, so the
+  solution pytree in the ring carries no second [nU, nU] matrix.
+
+Per lane this is ~150 KB/step vs ~400 KB for the naive
+union-of-everything payload (F alone is 212 KB of it); with
+``enable_debug_log_mode`` the full shapes are kept because the debug
+channels genuinely need every knot.
 
 Per-solve this is demonstration-scale — one chip fits thousands of these
 QPs — but the schedule, the stage split and the collective pattern are the
@@ -42,26 +60,27 @@ N_STAGES = 4
 
 
 class _Payload(NamedTuple):
-    """Union of every stage's products (fixed shapes; zeros until set)."""
+    """Union of the stage products that must cross an edge (fixed shapes;
+    zeros until set)."""
 
     carry: MPCCarry
-    snap: RobotSnapshot
-    est: jnp.ndarray
     # S0 products
     state_ref: jnp.ndarray
     lin: vs_mpc.LinearizedDynamics
     x0: jnp.ndarray
     pin: jnp.ndarray
-    # S1 products
+    # S1 products (F/f sliced to knots (0, -1) unless debug needs them all)
     qp: condensed.CondensedQP
-    # S2 products
+    # S2 products (kinv/rho folded into carry at S2, so csol carries none)
     csol: condensed.CondensedSolution
     # S3 products
     out: MPCOutput
 
 
-def _zero_payload(cfg: MPCConfig, carry, snap, est, dtype=jnp.float32):
+def _zero_payload(cfg: MPCConfig, carry, n_joints: int, dtype=jnp.float32):
     ns, ni = cfg.n_states, cfg.n_iter
+    slim = not cfg.enable_debug_log_mode
+    nk = 2 if slim else ni
     nU = condensed.n_inputs(cfg)
     nb = condensed.n_box(cfg)
     z = lambda *shape: jnp.zeros(shape, dtype)
@@ -69,12 +88,13 @@ def _zero_payload(cfg: MPCConfig, carry, snap, est, dtype=jnp.float32):
         Ac=z(ns, ns), BJ=z(ns, cfg.n_ctrl_joints), BT=z(ns, cfg.n_jets),
         c=z(ns))
     qp = condensed.CondensedQP(H=z(nU, nU), q=z(nU), lb=z(nb), ub=z(nb),
-                               F=z(ni, ns, nU), f=z(ni, ns))
+                               F=z(nk, ns, nU), f=z(nk, ns))
     csol = condensed.CondensedSolution(
-        u=z(nU), y=z(nb), states=z(ni, ns),
+        u=z(nU), y=z(nb), states=z(nk, ns),
         status=jnp.zeros((), jnp.int32), pri_res=z(), dua_res=z(),
-        kinv=z(nU, nU), rho_vec=z(nb), rho_scalar=z())
-    J = snap.joint_pos.shape[-1]
+        kinv=None if slim else z(nU, nU),
+        rho_vec=None if slim else z(nb),
+        rho_scalar=None if slim else z())
     if cfg.enable_debug_log_mode:
         from ..core.types import DebugInfo
 
@@ -85,42 +105,58 @@ def _zero_payload(cfg: MPCConfig, carry, snap, est, dtype=jnp.float32):
     else:
         debug = None
     out = MPCOutput(
-        joints_pos_ref=z(J), throttle=z(4), thrust_des=z(4),
+        joints_pos_ref=z(n_joints), throttle=z(4), thrust_des=z(4),
         thrust_dot_des=z(4), final_state=z(ns),
         status=jnp.zeros((), jnp.int32), pri_res=z(), dua_res=z(),
         alpha_gravity=z(), pos_com_ref=z(3), rpy_ref=z(3), mom_ref=z(6),
         debug=debug)
-    return _Payload(carry=carry, snap=snap, est=est, state_ref=z(ns, ni),
+    return _Payload(carry=carry, state_ref=z(ns, ni),
                     lin=lin, x0=z(ns), pin=jnp.zeros((), bool), qp=qp,
                     csol=csol, out=out)
 
 
 def _stages(cfg: MPCConfig, sched, joint_sel, settings, problem):
-    def s0_prep(p: _Payload) -> _Payload:
+    slim = not cfg.enable_debug_log_mode
+
+    def s0_prep(p: _Payload, snap: RobotSnapshot, est) -> _Payload:
         carry, prep = vs_mpc._tick_prep(cfg, joint_sel, problem, p.carry,
-                                        p.snap, p.est)
+                                        snap, est)
         return p._replace(carry=carry, state_ref=prep.state_ref,
                           lin=prep.lin, x0=prep.x0,
                           pin=jnp.asarray(prep.pin, bool))
 
-    def s1_condense(p: _Payload) -> _Payload:
+    def s1_condense(p: _Payload, snap, est) -> _Payload:
         prep = vs_mpc.TickPrep(state_ref=p.state_ref, lin=p.lin, x0=p.x0,
                                pin=p.pin)
         qp, _, _, _ = vs_mpc.condense_from_prep(cfg, sched, joint_sel,
                                                 problem, p.carry, prep)
+        if slim:
+            # the solve only reads states at knots (0, -1); the H/q fold
+            # consumed the full F above — don't ship 17 knots over ICI
+            keep = jnp.asarray([0, cfg.n_iter - 1])
+            qp = qp._replace(F=qp.F[keep], f=qp.f[keep])
         return p._replace(qp=qp)
 
-    def s2_solve(p: _Payload) -> _Payload:
+    def s2_solve(p: _Payload, snap, est) -> _Payload:
         csol = vs_mpc.solve_condensed(cfg, settings, problem, p.carry, p.qp)
-        if csol.kinv is None:  # keep payload shapes fixed
-            csol = csol._replace(kinv=p.csol.kinv, rho_vec=p.csol.rho_vec,
-                                 rho_scalar=p.csol.rho_scalar)
-        return p._replace(csol=csol)
-
-    def s3_extract(p: _Payload) -> _Payload:
-        csol = p.csol
-        if not settings.kinv_carry:
+        carry = p.carry
+        if settings.kinv_carry and csol.kinv is not None:
+            # fold the refreshed solver state into the carry HERE so the
+            # ring does not ship a second [nU, nU] matrix to S3
+            carry = carry._replace(kinv=csol.kinv, rho_vec=csol.rho_vec,
+                                   rho_scalar=csol.rho_scalar)
+        if slim:
             csol = csol._replace(kinv=None, rho_vec=None, rho_scalar=None)
+        return p._replace(carry=carry, csol=csol)
+
+    def s3_extract(p: _Payload, snap, est) -> _Payload:
+        # kinv was folded into the carry at S2: hand extract a csol whose
+        # solver-state fields mirror the carry so its own fold is a no-op
+        csol = p.csol
+        if settings.kinv_carry and csol.kinv is None:
+            csol = csol._replace(kinv=p.carry.kinv,
+                                 rho_vec=p.carry.rho_vec,
+                                 rho_scalar=p.carry.rho_scalar)
         prep = vs_mpc.TickPrep(state_ref=p.state_ref, lin=p.lin, x0=p.x0,
                                pin=p.pin)
         carry, out = vs_mpc.extract_condensed(
@@ -144,6 +180,7 @@ def pipeline_tick(cfg: MPCConfig, sched, joint_sel,
     assert mesh.shape[axis] == N_STAGES, mesh.shape
     B = est.shape[0]
     stages = _stages(cfg, sched, joint_sel, settings, problem)
+    n_joints = snaps.joint_pos.shape[-1]
 
     def vstage(i):
         return jax.vmap(stages[i])
@@ -167,10 +204,7 @@ def pipeline_tick(cfg: MPCConfig, sched, joint_sel,
         stage_id = jax.lax.axis_index(axis)
 
         c0 = jax.tree.map(lambda a: a[0], carries_m)
-        s0 = jax.tree.map(lambda a: a[0], snaps_m)
-        payload = jax.vmap(
-            lambda c, s, e: _zero_payload(cfg, c, s, e))(
-                c0, s0, est_m[0])
+        payload = jax.vmap(lambda c: _zero_payload(cfg, c, n_joints))(c0)
 
         results = payload  # accumulator shell, filled by the last stage
 
@@ -179,19 +213,23 @@ def pipeline_tick(cfg: MPCConfig, sched, joint_sel,
             payload, results = state
             if t < n_micro:
                 # inject micro-batch t at stage 0
-                fresh = jax.vmap(
-                    lambda c, s, e: _zero_payload(cfg, c, s, e))(
-                        jax.tree.map(lambda a: a[t], carries_m),
-                        jax.tree.map(lambda a: a[t], snaps_m),
-                        est_m[t])
+                fresh = jax.vmap(lambda c: _zero_payload(cfg, c, n_joints))(
+                    jax.tree.map(lambda a: a[t], carries_m))
                 take_fresh = stage_id == 0
                 payload = jax.tree.map(
                     lambda f, p: jnp.where(
                         jnp.reshape(take_fresh, (1,) * f.ndim), f, p),
                     fresh, payload)
-            # apply this device's stage
-            payload = jax.lax.switch(stage_id, [vstage(i) for i in
-                                                range(N_STAGES)], payload)
+            # the measured state never rides the ring: the static schedule
+            # says stage 0 is working micro-batch t, so it reads
+            # snaps_m[t]/est_m[t] straight from the replicated inputs
+            # (later stages receive the same operands and ignore them)
+            ti = min(t, n_micro - 1)
+            snap_t = jax.tree.map(lambda a: a[ti], snaps_m)
+            est_t = est_m[ti]
+            payload = jax.lax.switch(
+                stage_id, [vstage(i) for i in range(N_STAGES)],
+                payload, snap_t, est_t)
             if t >= N_STAGES - 1:
                 # the last stage finishes micro-batch t-(S-1) at step t
                 done = stage_id == N_STAGES - 1
