@@ -80,10 +80,35 @@ def make_batched_carry(carry: LoopCarry, n: int, scen: ScenarioConfig,
     return batched._replace(plant=plant)
 
 
+def _sweep_ckpt_save(path, carry, acc, done: int):
+    import orbax.checkpoint as ocp
+
+    from pathlib import Path
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(Path(path).absolute(),
+                   {"carry": carry, "acc": acc,
+                    "done": jnp.asarray(done)}, force=True)
+
+
+def _sweep_ckpt_restore(path, carry_like, acc_like):
+    import orbax.checkpoint as ocp
+
+    from pathlib import Path
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        target = {"carry": carry_like, "acc": acc_like,
+                  "done": jnp.asarray(0)}
+        out = ckptr.restore(Path(path).absolute(),
+                            args=ocp.args.PyTreeRestore(target))
+    return out["carry"], out["acc"], int(out["done"])
+
+
 def run_sweep(loop: ClosedLoop, problem, batched_carry: LoopCarry,
               n_ticks: int, mesh: Mesh,
               scen: ScenarioConfig = ScenarioConfig(),
-              chunk_ticks: int | None = None) -> SweepResult:
+              chunk_ticks: int | None = None,
+              checkpoint_dir: str | None = None) -> SweepResult:
     """Run every scenario for ``n_ticks`` and reduce statistics on-device.
 
     The scenario batch is sharded over the mesh's "scenario" axis; each
@@ -98,6 +123,13 @@ def run_sweep(loop: ClosedLoop, problem, batched_carry: LoopCarry,
     device between them — long-running single programs can trip worker
     watchdogs (observed through the TPU tunnel at 1024 x 2000); chunking
     bounds per-program wall time without changing the result.
+
+    ``checkpoint_dir`` persists (batched carry, accumulators, tick cursor)
+    after every chunk (Orbax pytree checkpoint, SURVEY §5 checkpoint/resume
+    for long Monte-Carlo sweeps): calling run_sweep again with the same
+    directory resumes from the last completed chunk and produces the same
+    result as an uninterrupted run (rollouts are deterministic given the
+    carry).
     """
     n = batched_carry.plant.base_p.shape[0]
     chunk = int(chunk_ticks) if chunk_ticks else int(n_ticks)
@@ -140,6 +172,15 @@ def run_sweep(loop: ClosedLoop, problem, batched_carry: LoopCarry,
     sum_solved = jnp.zeros((n,), jnp.float32)
     any_bad = jnp.zeros((n,), bool)
     done = 0
+    ckpt_path = None
+    if checkpoint_dir is not None:
+        from pathlib import Path
+
+        ckpt_path = Path(checkpoint_dir) / "sweep_state"
+        if ckpt_path.exists():
+            carry, (max_err, sum_solved, any_bad), done = \
+                _sweep_ckpt_restore(ckpt_path, carry,
+                                    (max_err, sum_solved, any_bad))
     step_full = chunk_fn(chunk)
     while done < n_ticks:
         length = min(chunk, n_ticks - done)
@@ -148,6 +189,9 @@ def run_sweep(loop: ClosedLoop, problem, batched_carry: LoopCarry,
             carry, max_err, sum_solved, any_bad)
         jax.block_until_ready(max_err)
         done += length
+        if ckpt_path is not None:
+            _sweep_ckpt_save(ckpt_path, carry,
+                             (max_err, sum_solved, any_bad), done)
 
     @partial(shard_map, mesh=mesh, in_specs=(P("scenario"),) * 3,
              out_specs=P(), check_vma=False)

@@ -139,3 +139,34 @@ def test_failure_detection(loop_setup):
     res = run_sweep(loop, problem, batched, n_ticks=12, mesh=mesh, scen=scen)
     assert int(res.n_failed) >= 1
     assert float(res.mean_com_err) < 0.04  # failed lane excluded from stats
+
+
+def test_sweep_checkpoint_resume_equivalence(loop_setup, tmp_path):
+    """Chunked sweep + checkpoint/resume (SURVEY §5): running 4+4 ticks with
+    a simulated interruption after the first 4 (fresh run_sweep call against
+    the same checkpoint dir) must produce exactly the statistics of an
+    uninterrupted 8-tick run."""
+    loop, problem, carry = loop_setup
+    scen = ScenarioConfig(wind_force_std=2.0, com_err_fail=1.0)
+    mesh = make_mesh(n_scenario=8, n_kkt=1)
+
+    batched = make_batched_carry(carry, 8, scen, seed=5)
+    ref = run_sweep(loop, problem, batched, n_ticks=8, mesh=mesh, scen=scen,
+                    chunk_ticks=4)
+
+    ck = tmp_path / "sweep_ck"
+    batched2 = make_batched_carry(carry, 8, scen, seed=5)
+    # "crash" after the first chunk: ask for only 4 ticks, checkpointed
+    run_sweep(loop, problem, batched2, n_ticks=4, mesh=mesh, scen=scen,
+              chunk_ticks=4, checkpoint_dir=str(ck))
+    # resume: a fresh call continues from the persisted cursor to 8
+    batched3 = make_batched_carry(carry, 8, scen, seed=5)
+    res = run_sweep(loop, problem, batched3, n_ticks=8, mesh=mesh,
+                    scen=scen, chunk_ticks=4, checkpoint_dir=str(ck))
+
+    np.testing.assert_allclose(float(res.mean_com_err),
+                               float(ref.mean_com_err), rtol=1e-6)
+    np.testing.assert_allclose(float(res.max_com_err),
+                               float(ref.max_com_err), rtol=1e-6)
+    assert int(res.n_failed) == int(ref.n_failed)
+    assert float(res.solved_frac) == float(ref.solved_frac)

@@ -17,7 +17,10 @@ flight controller with no stance/contact authority, same as the
 reference's), so a from-standing sweep measures gravity, not robustness.
 
 Usage: python tools/run_robustness_sweep.py [n_scenarios=256] [seconds=10]
-           [--skip 22] [--out SWEEP.json]
+           [--skip 22] [--out SWEEP.json] [--ckpt DIR]
+
+With --ckpt the per-level sweep state is checkpointed after every chunk
+(orbax); re-running the same command resumes interrupted levels.
 """
 
 import dataclasses
@@ -44,9 +47,12 @@ def main():
     n_scen = int(args[0]) if args else 256
     seconds = float(args[1]) if len(args) > 1 else 10.0
     out_path = None
+    ckpt_root = None
     for i, a in enumerate(sys.argv):
         if a == "--out" and i + 1 < len(sys.argv):
             out_path = Path(sys.argv[i + 1])
+        if a == "--ckpt" and i + 1 < len(sys.argv):
+            ckpt_root = Path(sys.argv[i + 1])
 
     from ironcub_mpc_tpu.ops import admm
     from ironcub_mpc_tpu.parallel import (
@@ -98,8 +104,9 @@ def main():
         print(f"sweeping {n_per} scenarios x {seconds:.0f} s at "
               f"wind std {w_std:.0f} N on {n_dev} device(s) "
               f"[{jax.devices()[0].platform}] ...", flush=True)
+        ck = (str(ckpt_root / f"wind_{int(w_std)}") if ckpt_root else None)
         res = run_sweep(loop, problem, batched, n_ticks=n_ticks, mesh=mesh,
-                        scen=scen, chunk_ticks=250)
+                        scen=scen, chunk_ticks=250, checkpoint_dir=ck)
         jax.block_until_ready(res.mean_com_err)
         levels_out.append({
             "wind_force_std_n": w_std,
