@@ -64,10 +64,17 @@ def main():
     # vmap 21.3k, unguarded 42.1k, batch-guard 40.3k solves/s (-4.4%) — the
     # benched configuration is now the same recovery-safe solver the
     # sweeps run.
+    # ns_skip_tol: probe-gated refresh skip — the drift-absorbing NS
+    # polish only runs on ticks whose carried-inverse probe residual
+    # against the current K(H, ρ) exceeds 0.02. Measured on v5e at batch
+    # 256 (tools/bench_ns_skip.py): 66.0k -> 68.6k solves/s (+3.9%) at
+    # solved_frac 1.000, and the win holds unchanged (+3.8%) under
+    # per-tick momentum jitter emulating real relinearisation drift.
     settings = admm.ADMMSettings(max_iter=40, polish=True,
                                  rho_update_iters=(15,), pallas_mode="off",
                                  kinv_guard=True,
-                                 guard_axis=admm.BATCH_GUARD_AXIS)
+                                 guard_axis=admm.BATCH_GUARD_AXIS,
+                                 ns_skip_tol=0.02)
     cfg, sched, sel, settings, problem, carry, snap, vs_mpc = ge._setup(
         settings=settings)
     settings_lat = dataclasses.replace(settings, pallas_mode="on",

@@ -716,23 +716,52 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             kp = jnp.where(jnp.isfinite(kinv_prev), kinv_prev, 0.0)
             rp = jnp.where(jnp.isfinite(rho_prev) & (rho_prev > 0),
                            rho_prev, rho_vec)
+            # ns_skip_tol > 0: probe the carried inverse against the
+            # CURRENT K(H, ρ) first — the probe sees both the 5 ms
+            # relinearisation drift and any ρ jump, so a fresh-enough
+            # inverse skips the refresh work entirely (see the
+            # ADMMSettings.ns_skip_tol docstring for the residual bound).
             if settings.guard_axis is None:
-                Kinv = woodbury_k(lift(kp), rp, rho_vec)
+                if settings.ns_skip_tol > 0:
+                    r0 = kinv_probe_resid(kp, rho_vec)
+                    stale = ~jnp.isfinite(r0) | (r0 > settings.ns_skip_tol)
+                    Kinv = jax.lax.cond(
+                        stale, lambda k: woodbury_k(lift(k), rp, rho_vec),
+                        lambda k: lift(k), kp)
+                else:
+                    Kinv = woodbury_k(lift(kp), rp, rho_vec)
             else:
                 # batched-guarded path: ρ differs from the carry only when
                 # the 20-tick pin pattern toggled (~5% of ticks), so the
                 # rank-n_box correction is skipped — via a REAL branch,
                 # psum-reduced over the batch axis — whenever no lane's ρ
                 # moved; the NS polish against the current H (the part
-                # that absorbs relinearisation drift) always runs.
+                # that absorbs relinearisation drift) runs unless every
+                # lane's probe residual is already inside ns_skip_tol.
                 d_any = jax.lax.psum(
                     jnp.any(jnp.abs(rho_vec - rp) > 0).astype(jnp.int32),
                     settings.guard_axis)
+                if settings.ns_skip_tol > 0:
+                    r0 = kinv_probe_resid(kp, rho_vec)
+                    n_stale = jax.lax.psum(
+                        (~jnp.isfinite(r0)
+                         | (r0 > settings.ns_skip_tol)).astype(jnp.int32),
+                        settings.guard_axis)
+
+                    def polish_fn(k):
+                        return jax.lax.cond(
+                            n_stale > 0,
+                            lambda kk: lift(ns_polish(lower(kk), rho_vec,
+                                                      settings.ns_steps)),
+                            lambda kk: kk, k)
+                else:
+                    def polish_fn(k):
+                        return lift(ns_polish(lower(k), rho_vec,
+                                              settings.ns_steps))
                 Kinv = jax.lax.cond(
                     d_any > 0,
                     lambda k: woodbury_k(k, rp, rho_vec),
-                    lambda k: lift(ns_polish(lower(k), rho_vec,
-                                             settings.ns_steps)),
+                    polish_fn,
                     lift(kp))
             if settings.kinv_guard:
                 # Newton–Schulz only contracts from ‖I − K·X‖ < 1: a large

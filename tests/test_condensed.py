@@ -339,3 +339,63 @@ def test_full_space_warm_start_recovery():
     assert int(out.status) in (admm.SOLVED, admm.SOLVED_INACCURATE)
     np.testing.assert_allclose(np.asarray(out.throttle),
                                np.asarray(ref_out.throttle), atol=1e-3)
+
+
+@pytest.mark.parametrize("guarded", [False, True])
+def test_ns_skip_tol_matches_refresh_every_tick(guarded):
+    """Probe-gated refresh skip (ADMMSettings.ns_skip_tol): with a
+    per-tick relinearisation drift (snapshot jitter), skipping the
+    carried-inverse refresh whenever the probe residual is inside the
+    tolerance must keep every tick solved and the command stream within
+    solver tolerance of the refresh-every-tick baseline — including
+    across the 20-tick throttle-pin toggle (a ρ jump the probe must
+    catch)."""
+    cfg = MPCConfig()
+    sched = build_schedule(cfg)
+    sel = joint_selector(RobotConfig(), cfg)
+    channels, alpha = make_test_trajectories()
+    axis = admm.BATCH_GUARD_AXIS if guarded else None
+    base = dataclasses.replace(SETTINGS, max_iter=120, pallas_mode="off",
+                               guard_axis=axis)
+    skip = dataclasses.replace(base, ns_skip_tol=0.02)
+    est = jnp.zeros(4)
+    snaps = [make_hover_snapshot(rng_seed=100 + k) for k in range(25)]
+
+    def run(settings):
+        problem, carry = mpc_mod.configure(cfg, sched, sel, snaps[0],
+                                           channels, alpha, settings)
+        if guarded:
+            problem_b = jax.tree.map(lambda a: a, problem)
+            carry = jax.tree.map(lambda a: jnp.stack([a, a]), carry)
+            tick = jax.vmap(
+                lambda c, s, e: mpc_mod.mpc_tick(cfg, sched, sel, settings,
+                                                 problem_b, c, s, e),
+                in_axes=(0, None, None), axis_name=admm.BATCH_GUARD_AXIS)
+        else:
+            def tick(c, s, e):
+                return mpc_mod.mpc_tick(cfg, sched, sel, settings, problem,
+                                        c, s, e)
+        outs = []
+        for snap in snaps:
+            carry, out = tick(carry, snap, est)
+            outs.append(out)
+        return outs
+
+    base_outs = run(base)
+    skip_outs = run(skip)
+    for ob, os_ in zip(base_outs, skip_outs):
+        st_b = np.atleast_1d(np.asarray(ob.status))
+        st_s = np.atleast_1d(np.asarray(os_.status))
+        assert all(s in (admm.SOLVED, admm.SOLVED_INACCURATE) for s in st_b)
+        assert all(s in (admm.SOLVED, admm.SOLVED_INACCURATE) for s in st_s)
+        np.testing.assert_allclose(np.asarray(os_.throttle),
+                                   np.asarray(ob.throttle), atol=5e-3)
+        np.testing.assert_allclose(np.asarray(os_.joints_pos_ref),
+                                   np.asarray(ob.joints_pos_ref), atol=5e-4)
+
+
+def test_ns_skip_tol_validation():
+    with pytest.raises(ValueError):
+        admm.ADMMSettings(ns_skip_tol=0.1)
+    with pytest.raises(ValueError):
+        admm.ADMMSettings(ns_skip_tol=-1e-3)
