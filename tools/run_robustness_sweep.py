@@ -17,7 +17,7 @@ flight controller with no stance/contact authority, same as the
 reference's), so a from-standing sweep measures gravity, not robustness.
 
 Usage: python tools/run_robustness_sweep.py [n_scenarios=256] [seconds=10]
-           [--skip 22] [--out SWEEP.json] [--ckpt DIR]
+           [--skip 22] [--out SWEEP.json] [--ckpt DIR] [--ns-skip]
 
 With --ckpt the per-level sweep state is checkpointed after every chunk
 (orbax); re-running the same command resumes interrupted levels.
@@ -82,9 +82,14 @@ def main():
     # batch-level recovery guard (monte_carlo.py module docstring). Applied
     # only now — the nominal fast-forward above is unbatched, where the
     # guard's psum axis would be unbound (lane-mode guard handles batch 1).
+    # --ns-skip additionally enables the probe-gated refresh skip
+    # (ADMMSettings.ns_skip_tol, +3.9% solver throughput at unchanged
+    # solved_frac — tools/bench_ns_skip.py); off by default so committed
+    # sweep artifacts stay comparable across rounds.
+    ns_skip = 0.02 if "--ns-skip" in sys.argv else 0.0
     loop.settings = dataclasses.replace(
         loop.settings, pallas_mode="off",
-        guard_axis=admm.BATCH_GUARD_AXIS)
+        guard_axis=admm.BATCH_GUARD_AXIS, ns_skip_tol=ns_skip)
 
     n_dev = len(jax.devices())
     mesh = make_mesh(n_scenario=n_dev, n_kkt=1)
