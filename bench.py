@@ -44,7 +44,9 @@ def main():
     # 128 -> 63.2k, 256 -> 66.2k, 384 -> 63.6k, 512 -> 61.4k,
     # 1024 -> 51.4k, 2048 -> 48.9k solves/s — 256 is the sweet spot (the
     # batched K⁻¹ working set, ~15 MB, stays VMEM-resident; >=1024
-    # spills). The old per-dispatch loop is kept as a secondary metric.
+    # spills). With the probe-gated refresh skip below: 128 -> 65.0k,
+    # 256 -> 67.7k, 384 -> 64.3k, 512 -> 64.5k, 1024 -> 54.5k (same
+    # optimum). The old per-dispatch loop is kept as a secondary metric.
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     scan_len = int(os.environ.get("BENCH_SCAN", "50"))
