@@ -99,9 +99,13 @@ class ADMMSettings:
     # (Woodbury + NS on the latency path, the drift-absorbing NS polish on
     # the guarded batched path) is skipped entirely on ticks where the
     # carried inverse's probe residual against the CURRENT K(H, ρ) is
-    # already <= this tolerance. The probe sees both the 5 ms
-    # relinearisation drift and any ρ jump (ρ enters K's diagonal), so
-    # skipping is safe by construction; NS squares the residual whenever
+    # already <= this tolerance. The probe residual is a LOWER bound on
+    # the true inverse residual (three fixed probe vectors, one supported
+    # entirely on the box coordinates so ρ-jump-concentrated error cannot
+    # hide) — error aligned with the probes' joint null space can pass the
+    # gate, in which case the cost is extra ADMM iterations, never a wrong
+    # answer: solver status comes from true residuals against H and
+    # kinv_guard re-factorises above 0.1. NS squares the residual whenever
     # it does run, so the carried residual oscillates in [tol², tol]
     # instead of being re-polished to factorisation grade every tick.
     # 0.0 (default) preserves the refresh-every-tick behavior. Must stay
@@ -134,6 +138,23 @@ class ADMMSettings:
     # per-lane select. Must match the vmap axis_name or tracing fails;
     # leave None on the unbatched real-time path.
     guard_axis: str | None = None
+    # early segment exit (condensed solver): when > 0, each fixed-length
+    # ADMM segment runs as chunks of this many iterations, and between
+    # chunks the OSQP termination criterion is evaluated — once EVERY lane
+    # satisfies it, the remaining chunks are skipped through a real
+    # lax.cond branch (the same psum-over-guard_axis mechanism as
+    # kinv_guard, so it survives vmap; unbatched it is a plain branch).
+    # This is the batched counterpart of OSQP's check-every-25 termination
+    # (IMPCProblem.cpp:279-297 semantics): converged lanes still iterate
+    # until the LAST lane converges (lockstep), but the whole batch stops
+    # paying iterations the slowest lane no longer needs. A skipped-chunk
+    # check costs ~1 matvec vs `term_check_every` K⁻¹ matvecs for the
+    # chunk. 0 (default) preserves fixed-iteration behavior. Under vmap
+    # set ``guard_axis`` (same trap as kinv_guard: a per-lane cond lowers
+    # to both-branches). Adaptive-ρ updates at rho_update_iters marks are
+    # additionally masked off for already-converged lanes (OSQP never
+    # re-tunes ρ after termination).
+    term_check_every: int = 0
     # fused Pallas kernels for the ADMM segment + Woodbury refresh
     # (ops/pallas_solve.py): "auto" = on TPU backends, "on" = always
     # (interpret mode off-TPU; for tests), "off" = pure-JAX path.
@@ -162,6 +183,9 @@ class ADMMSettings:
             raise ValueError(
                 "ns_skip_tol must be in [0, 0.1) — 0.1 is the kinv_guard "
                 f"recovery threshold; got {self.ns_skip_tol}")
+        if self.term_check_every < 0:
+            raise ValueError("term_check_every must be >= 0, got "
+                             f"{self.term_check_every}")
 
 
 def pallas_enabled(settings: "ADMMSettings") -> bool:

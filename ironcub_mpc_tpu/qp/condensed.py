@@ -687,7 +687,7 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             return Kv.at[box0:].add(rho_v * v[box0:])
 
         def kinv_probe_resid(Kinv_l, rho_v):
-            """Inverse-quality residual via two probe matvecs.
+            """Inverse-quality residual via three probe matvecs.
 
             The guard exists to catch carried inverses that left the
             Newton–Schulz contraction basin (big inter-tick state jump /
@@ -695,12 +695,22 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             ‖K·(X v) − v‖∞ on fixed probes detects it at matvec cost
             instead of the [nU,nU] ‖I − K·X‖ matmul (measured ~1.2 ms per
             batched tick at 512 lanes, ~10% of the whole tick, spent
-            re-verifying good inverses)."""
+            re-verifying good inverses). NOTE this is a LOWER bound on the
+            true inverse residual — error concentrated in directions near
+            the probes' joint null space can pass. The third probe has its
+            support entirely on the box coordinates (where ρ perturbs K's
+            diagonal), so a ρ-jump-concentrated error cannot hide from it;
+            residual directions the probes still miss only cost extra ADMM
+            iterations (status comes from true residuals against H, and
+            kinv_guard re-factorises above 0.1)."""
             v1 = jnp.ones((nU,), dt_).at[1::2].set(-1.0)
             v2 = jnp.linspace(-1.0, 1.0, nU, dtype=dt_)
+            v3 = jnp.zeros((nU,), dt_).at[box0:].set(
+                jnp.ones((n_box,), dt_).at[1::2].set(-1.0))
             r1 = jnp.max(jnp.abs(k_apply(Kinv_l @ v1, rho_v) - v1))
             r2 = jnp.max(jnp.abs(k_apply(Kinv_l @ v2, rho_v) - v2))
-            return jnp.maximum(r1, r2)
+            r3 = jnp.max(jnp.abs(k_apply(Kinv_l @ v3, rho_v) - v3))
+            return jnp.maximum(jnp.maximum(r1, r2), r3)
 
         marks = [i for i in settings.rho_update_iters if i < settings.max_iter]
         bounds = [0] + marks + [settings.max_iter]
@@ -716,6 +726,16 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
             kp = jnp.where(jnp.isfinite(kinv_prev), kinv_prev, 0.0)
             rp = jnp.where(jnp.isfinite(rho_prev) & (rho_prev > 0),
                            rho_prev, rho_vec)
+
+            def with_resid(k_p):
+                # recovery-guard residual of a refreshed inverse, computed
+                # INSIDE the refresh branches so the skip path can reuse its
+                # gate residual instead of re-probing the untouched carry
+                if settings.kinv_guard:
+                    return k_p, kinv_probe_resid(lower(k_p), rho_vec)
+                return k_p, jnp.asarray(0.0, dt_)
+
+            resid = None
             # ns_skip_tol > 0: probe the carried inverse against the
             # CURRENT K(H, ρ) first — the probe sees both the 5 ms
             # relinearisation drift and any ρ jump, so a fresh-enough
@@ -725,9 +745,11 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
                 if settings.ns_skip_tol > 0:
                     r0 = kinv_probe_resid(kp, rho_vec)
                     stale = ~jnp.isfinite(r0) | (r0 > settings.ns_skip_tol)
-                    Kinv = jax.lax.cond(
-                        stale, lambda k: woodbury_k(lift(k), rp, rho_vec),
-                        lambda k: lift(k), kp)
+                    Kinv, resid = jax.lax.cond(
+                        stale,
+                        lambda k: with_resid(woodbury_k(lift(k), rp,
+                                                        rho_vec)),
+                        lambda k: (lift(k), r0), kp)
                 else:
                     Kinv = woodbury_k(lift(kp), rp, rho_vec)
             else:
@@ -751,16 +773,16 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
                     def polish_fn(k):
                         return jax.lax.cond(
                             n_stale > 0,
-                            lambda kk: lift(ns_polish(lower(kk), rho_vec,
-                                                      settings.ns_steps)),
-                            lambda kk: kk, k)
+                            lambda kk: with_resid(lift(ns_polish(
+                                lower(kk), rho_vec, settings.ns_steps))),
+                            lambda kk: (kk, r0), k)
                 else:
                     def polish_fn(k):
-                        return lift(ns_polish(lower(k), rho_vec,
-                                              settings.ns_steps))
-                Kinv = jax.lax.cond(
+                        return with_resid(lift(ns_polish(
+                            lower(k), rho_vec, settings.ns_steps)))
+                Kinv, resid = jax.lax.cond(
                     d_any > 0,
-                    lambda k: woodbury_k(k, rp, rho_vec),
+                    lambda k: with_resid(woodbury_k(k, rp, rho_vec)),
                     polish_fn,
                     lift(kp))
             if settings.kinv_guard:
@@ -770,7 +792,8 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
                 # diverges. Verify the inverse residual and re-factorise on
                 # failure — lax.cond, so the real-time batch-1 path pays
                 # the Cholesky only on the (rare) bad tick.
-                resid = kinv_probe_resid(lower(Kinv), rho_vec)
+                if resid is None:
+                    resid = kinv_probe_resid(lower(Kinv), rho_vec)
                 bad = ~jnp.isfinite(resid) | (resid > 0.1)
                 if settings.guard_axis is not None:
                     # Batch-level guard: under vmap(axis_name=guard_axis)
@@ -792,9 +815,47 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
                     Kinv = jax.lax.cond(
                         bad, lambda _: lift(factor(rho_vec)),
                         lambda k: k, Kinv)
+        def converged(x, z, y):
+            pri, dua, pri_s, dua_s = residuals(x, z, y)
+            return ((pri <= settings.eps_abs + settings.eps_rel * pri_s)
+                    & (dua <= settings.eps_abs + settings.eps_rel * dua_s))
+
+        def not_all_done(done):
+            """Early-exit predicate: any lane still unconverged — psum over
+            guard_axis makes it unbatched so the chunk cond survives vmap
+            as a real branch (the kinv_guard mechanism)."""
+            if settings.guard_axis is not None:
+                return jax.lax.psum((~done).astype(jnp.int32),
+                                    settings.guard_axis) > 0
+            return ~done
+
+        def run_segment_early(Kinv, rho_vec, x, z, y, length, global_pos):
+            """term_check_every-chunked segment with all-lanes-converged
+            skip (ADMMSettings.term_check_every; OSQP's check-every-25
+            termination, IMPCProblem.cpp:279-297, in lockstep-batch form).
+            The very first chunk of the solve runs unconditionally — the
+            warm-started iterate has not been checked and is almost never
+            already converged."""
+            ce = settings.term_check_every
+            if ce <= 0:
+                return run_segment_k(Kinv, rho_vec, x, z, y, length)
+            pos = 0
+            while pos < length:
+                n = min(ce, length - pos)
+                if global_pos + pos == 0:
+                    x, z, y = run_segment_k(Kinv, rho_vec, x, z, y, n)
+                else:
+                    x, z, y = jax.lax.cond(
+                        not_all_done(converged(x, z, y)),
+                        lambda s, n=n: run_segment_k(Kinv, rho_vec, *s, n),
+                        lambda s: s, (x, z, y))
+                pos += n
+            return x, z, y
+
         for si in range(len(bounds) - 1):
-            x, z, y = run_segment_k(Kinv, rho_vec, x, z, y,
-                                    bounds[si + 1] - bounds[si])
+            x, z, y = run_segment_early(Kinv, rho_vec, x, z, y,
+                                        bounds[si + 1] - bounds[si],
+                                        bounds[si])
             if si < len(bounds) - 2:
                 pri, dua, pri_s, dua_s = residuals(x, z, y)
                 ratio = jnp.sqrt((pri / jnp.maximum(pri_s, 1e-12))
@@ -802,6 +863,14 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
                                                1e-12))
                 upd = (ratio > settings.adaptive_rho_tolerance) | (
                     ratio < 1.0 / settings.adaptive_rho_tolerance)
+                if settings.term_check_every > 0:
+                    # OSQP never re-tunes ρ after termination: a converged
+                    # lane keeps its ρ (and the carried K⁻¹ stays valid)
+                    done_here = ((pri <= settings.eps_abs
+                                  + settings.eps_rel * pri_s)
+                                 & (dua <= settings.eps_abs
+                                    + settings.eps_rel * dua_s))
+                    upd = upd & ~done_here
                 rho_scalar = jnp.where(
                     upd, jnp.clip(rho_scalar * ratio, settings.rho_min,
                                   settings.rho_max), rho_scalar)

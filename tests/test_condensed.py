@@ -399,3 +399,63 @@ def test_ns_skip_tol_validation():
         admm.ADMMSettings(ns_skip_tol=0.1)
     with pytest.raises(ValueError):
         admm.ADMMSettings(ns_skip_tol=-1e-3)
+
+
+@pytest.mark.parametrize("guarded", [False, True])
+def test_term_check_early_exit_matches_fixed(guarded):
+    """Early segment exit (ADMMSettings.term_check_every): chunked
+    iteration with the all-lanes-converged skip must keep every tick
+    solved and the command stream within solver tolerance of the
+    fixed-iteration baseline, unbatched (plain cond) and under vmap with
+    the psum-reduced predicate (guard_axis)."""
+    cfg = MPCConfig()
+    sched = build_schedule(cfg)
+    sel = joint_selector(RobotConfig(), cfg)
+    channels, alpha = make_test_trajectories()
+    axis = admm.BATCH_GUARD_AXIS if guarded else None
+    base = dataclasses.replace(SETTINGS, max_iter=120, pallas_mode="off",
+                               guard_axis=axis)
+    early = dataclasses.replace(base, term_check_every=8)
+    est = jnp.zeros(4)
+    snaps = [make_hover_snapshot(rng_seed=300 + k) for k in range(25)]
+
+    def run(settings):
+        problem, carry = mpc_mod.configure(cfg, sched, sel, snaps[0],
+                                           channels, alpha, settings)
+        if guarded:
+            carry = jax.tree.map(lambda a: jnp.stack([a, a]), carry)
+            tick = jax.vmap(
+                lambda c, s, e: mpc_mod.mpc_tick(cfg, sched, sel, settings,
+                                                 problem, c, s, e),
+                in_axes=(0, None, None), axis_name=admm.BATCH_GUARD_AXIS)
+        else:
+            def tick(c, s, e):
+                return mpc_mod.mpc_tick(cfg, sched, sel, settings, problem,
+                                        c, s, e)
+        outs = []
+        for snap in snaps:
+            carry, out = tick(carry, snap, est)
+            outs.append(out)
+        return outs
+
+    base_outs = run(base)
+    early_outs = run(early)
+    for k, (ob, oe) in enumerate(zip(base_outs, early_outs)):
+        st_b = np.atleast_1d(np.asarray(ob.status))
+        st_e = np.atleast_1d(np.asarray(oe.status))
+        assert all(s in (admm.SOLVED, admm.SOLVED_INACCURATE) for s in st_b)
+        assert all(s in (admm.SOLVED, admm.SOLVED_INACCURATE)
+                   for s in st_e), f"tick {k}: early-exit status {st_e}"
+        # unlike ns_skip (same iterate, refreshed differently), early exit
+        # STOPS at the OSQP termination criterion — the iterate is a
+        # different, equally-valid solve, so compare at command-fidelity
+        # tolerance (the full-vs-condensed criterion above), not bitwise
+        np.testing.assert_allclose(np.asarray(oe.throttle),
+                                   np.asarray(ob.throttle), atol=0.2)
+        np.testing.assert_allclose(np.asarray(oe.joints_pos_ref),
+                                   np.asarray(ob.joints_pos_ref), atol=2e-3)
+
+
+def test_term_check_every_validation():
+    with pytest.raises(ValueError):
+        admm.ADMMSettings(term_check_every=-1)

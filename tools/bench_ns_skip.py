@@ -14,6 +14,12 @@ configuration, at two per-tick snapshot-jitter levels:
                 the honest regime.
 
 Usage: python tools/bench_ns_skip.py [batch] [scan_len]
+
+Note on solved=: the printed solved fraction averages status over the
+final timed repetition only, and the timed reps start from each arm's own
+post-warmup carry (the arms' solvers differ, so the warmup leaves slightly
+different carry states). Fine for the A/B throughput comparison this tool
+exists for; the solved= values are not from identical tick populations.
 """
 
 import dataclasses
