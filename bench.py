@@ -7,12 +7,24 @@ assembly, equilibration apply, KKT factorisation, warm-started ADMM solve
 with polish, and command extraction — at the full 588-var / 512-constraint
 multi-rate horizon, batched over scenarios with vmap.
 
+The headline regime REPLAYS a recorded real-flight snapshot stream
+(tests/golden/flight_snapshots.npz, tools/record_flight_snapshots.py):
+every chained tick feeds a different full RobotSnapshot — q, base pose,
+thrust, Jacobians, locked inertia all vary per tick — so no per-tick prep
+(A_mom, λ couplings, jet-axis work) is loop-invariant and nothing can be
+hoisted out of the scan by XLA. This matches the reference, which times
+every tick against fresh Robot.setState output
+(variable_sampling_mpc.py:107-114). BENCH_STATIC=1 selects the old
+static-snapshot regime for comparison (round-4 headline; measured within
+~2% of replay — the hoistable prep was already a small slice of the tick).
+
 Prints ONE JSON line:
   {"metric": "mpc_solves_per_s", "value": N, "unit": "solves/s",
    "vs_baseline": N / 5000}
 (baseline: BASELINE.json north-star ≥5000 aggregate solves/s on v5p-16).
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -32,55 +44,69 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       str(ROOT / ".jax_cache_tpu"))
 
-    import __graft_entry__ as ge
+    from ironcub_mpc_tpu.core.config import (MPCConfig, RobotConfig,
+                                             joint_selector)
+    from ironcub_mpc_tpu.core.types import RobotSnapshot
+    from ironcub_mpc_tpu.horizon import build_schedule
     from ironcub_mpc_tpu.ops import admm
+    from ironcub_mpc_tpu.qp import mpc as vs_mpc
 
     # Throughput is measured in the PRODUCTION regime: ticks chained in a
     # lax.scan inside one compiled program, exactly how the flight rollout
     # and the Monte-Carlo sweeps execute (runtime/loop.py) — per-dispatch
     # benching through this image's TPU tunnel buries the device time
     # under ~1-2 ms of amortised RPC per call and inverts the batch
-    # scaling. Chained batch curve on v5e (round 4, lean-refresh solver):
-    # 128 -> 63.2k, 256 -> 66.2k, 384 -> 63.6k, 512 -> 61.4k,
-    # 1024 -> 51.4k, 2048 -> 48.9k solves/s — 256 is the sweet spot (the
-    # batched K⁻¹ working set, ~15 MB, stays VMEM-resident; >=1024
-    # spills). With the probe-gated refresh skip below: 128 -> 65.0k,
-    # 256 -> 67.7k, 384 -> 64.3k, 512 -> 64.5k, 1024 -> 54.5k (same
-    # optimum). The old per-dispatch loop is kept as a secondary metric.
+    # scaling. Batch 256 is the measured optimum of the chained curve
+    # (the batched K⁻¹ working set stays VMEM-resident; >=1024 spills —
+    # round-4 curve in docs/PERFORMANCE.md).
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
     scan_len = int(os.environ.get("BENCH_SCAN", "50"))
-    import dataclasses
 
     # real-time-grade solver settings: with the warm start + carried
     # factorisation, 40 iterations converge below the OSQP-default
     # tolerances (pri ~2e-6 measured; closed loop verified at 200 ticks).
-    # Mode split measured on v5e: the pure-JAX batched-GEMM path wins
-    # throughput at batch 512 (42.1k vs 24.5k solves/s), the fused Pallas
-    # kernels (K⁻¹ resident in VMEM) win single-solve latency (0.40 vs
-    # 0.47 ms) — each metric runs its winning path.
-    # The throughput metric runs GUARDED (kinv_guard + batch-level
-    # guard_axis): the per-lane recovery cond is psum-reduced over the vmap
-    # axis so good ticks pay one collective instead of an always-taken
-    # Cholesky branch. Measured on v5e at batch 512: lane-mode guard under
-    # vmap 21.3k, unguarded 42.1k, batch-guard 40.3k solves/s (-4.4%) — the
-    # benched configuration is now the same recovery-safe solver the
-    # sweeps run.
-    # ns_skip_tol: probe-gated refresh skip — the drift-absorbing NS
-    # polish only runs on ticks whose carried-inverse probe residual
-    # against the current K(H, ρ) exceeds 0.02. Measured on v5e at batch
-    # 256 (tools/bench_ns_skip.py): 66.0k -> 68.6k solves/s (+3.9%) at
-    # solved_frac 1.000, and the win holds unchanged (+3.8%) under
-    # per-tick momentum jitter emulating real relinearisation drift.
+    # The throughput metric runs the batched-GEMM path (pallas_mode="off")
+    # GUARDED (kinv_guard + guard_axis: recovery stays a real branch under
+    # vmap) with the probe-gated refresh skip (ns_skip_tol) and the
+    # all-lanes-converged early segment exit (term_check_every=5 — chunked
+    # iteration, OSQP's check-every-25 semantics; measured on v5e at batch
+    # 256: 68.1k -> 106.5k solves/s, solved_frac 1.000; 3/4/5 within 1%,
+    # 8 at 103.5k). The fused Pallas kernels win the batch-1 LATENCY path
+    # instead (K⁻¹ VMEM-resident; ADMMSettings.pallas_mode docstring).
     settings = admm.ADMMSettings(max_iter=40, polish=True,
                                  rho_update_iters=(15,), pallas_mode="off",
                                  kinv_guard=True,
                                  guard_axis=admm.BATCH_GUARD_AXIS,
-                                 ns_skip_tol=0.02)
-    cfg, sched, sel, settings, problem, carry, snap, vs_mpc = ge._setup(
-        settings=settings)
+                                 ns_skip_tol=0.02, term_check_every=5)
     settings_lat = dataclasses.replace(settings, pallas_mode="on",
                                        guard_axis=None)
+
+    # --- recorded-flight replay stream (the headline regime) --------------
+    npz = np.load(ROOT / "tests" / "golden" / "flight_snapshots.npz")
+    cfg = dataclasses.replace(MPCConfig(),
+                              weight_regularization_joint_pos=200.0)
+    sched = build_schedule(cfg)
+    sel = joint_selector(RobotConfig(), cfg)
+    snap_fields = {f: jnp.asarray(npz[f"snap_{f}"], jnp.float32)
+                   for f in RobotSnapshot._fields}
+    n_rec = int(npz["est_td"].shape[0])
+    assert scan_len <= n_rec, (scan_len, n_rec)
+    snap_of = lambda t: RobotSnapshot(
+        **{f: snap_fields[f][t] for f in RobotSnapshot._fields})
+    channels = {k: np.asarray(npz[f"ch_{k}"]) for k in
+                ("positionCoM", "velocityCoM", "RPY", "RPYDot")}
+    alpha = np.asarray(npz["alpha"])
+    problem, carry = vs_mpc.configure(
+        cfg, sched, sel, snap_of(0), channels, alpha, settings,
+        initial_throttle=jnp.asarray(npz["initial_throttle"], jnp.float32))
+
+    static = os.environ.get("BENCH_STATIC", "0") == "1"
+    # stream of ticks 1..scan_len (tick t consumes snap t+1 / est_td t,
+    # the record_flight_snapshots replay contract)
+    snap_stream = jax.tree.map(
+        lambda a: a[1:scan_len + 1], RobotSnapshot(**snap_fields))
+    est_stream = jnp.asarray(npz["est_td"][:scan_len], jnp.float32)
 
     def tick(carry, snap, est):
         return vs_mpc.mpc_tick(cfg, sched, sel, settings, problem, carry,
@@ -91,14 +117,14 @@ def main():
                                carry, snap, est)
 
     carries = jax.tree.map(lambda a: jnp.stack([a] * batch), carry)
-    snaps = jax.tree.map(lambda a: jnp.stack([a] * batch), snap)
-    # perturb initial states a little so lanes are not redundant
+    # per-lane momentum perturbation so lanes are not redundant (the
+    # per-TICK variation comes from the replayed stream)
     key = jax.random.PRNGKey(0)
-    snaps = snaps._replace(
-        momentum_body=snaps.momentum_body
-        + 0.1 * jax.random.normal(key, snaps.momentum_body.shape,
-                                  snaps.momentum_body.dtype))
-    est = jnp.zeros((batch, 4))
+    lane_jitter = 0.1 * jax.random.normal(key, (batch, 6), jnp.float32)
+    est0 = jnp.zeros((batch, 4))
+    snaps0 = jax.tree.map(lambda a: jnp.stack([a] * batch), snap_of(1))
+    snaps0 = snaps0._replace(
+        momentum_body=snaps0.momentum_body + lane_jitter)
 
     vtick = jax.vmap(tick, axis_name=admm.BATCH_GUARD_AXIS)
     # BENCH_MESH=1: shard the scenario batch over every attached device via
@@ -126,21 +152,34 @@ def main():
 
     @jax.jit
     def chain_tput(carries):
-        def body(cc, _):
-            cc, out = vtick(cc, snaps, est)
+        def body(cc, xs):
+            snap_t, est_t = xs
+            snap_b = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (batch,) + a.shape), snap_t)
+            snap_b = snap_b._replace(
+                momentum_body=snap_b.momentum_body + lane_jitter)
+            est_b = jnp.broadcast_to(est_t, (batch, 4))
+            cc, out = vtick(cc, snap_b, est_b)
             ok = jnp.mean(((out.status == 1)
                            | (out.status == 2)).astype(jnp.float32))
             return cc, ok
-        return jax.lax.scan(body, carries, None, length=scan_len)
+        if static:
+            def body_static(cc, _):
+                cc, out = vtick(cc, snaps0, est0)
+                ok = jnp.mean(((out.status == 1)
+                               | (out.status == 2)).astype(jnp.float32))
+                return cc, ok
+            return jax.lax.scan(body_static, carries, None, length=scan_len)
+        return jax.lax.scan(body, carries, (snap_stream, est_stream))
 
     # warmup / compile (both programs)
     t0 = time.time()
     carries, ok = chain_tput(carries)
-    _, out = step(carries, snaps, est)
+    _, out = step(carries, snaps0, est0)
     jax.block_until_ready((ok, out))
     compile_s = time.time() - t0
 
-    # primary: device-resident scan throughput (the production regime)
+    # primary: device-resident scan throughput over the replayed stream
     t0 = time.time()
     reps = 3
     for _ in range(reps):
@@ -154,7 +193,7 @@ def main():
     # tunnel-inflated on this image)
     t0 = time.time()
     for _ in range(iters):
-        carries, out = step(carries, snaps, est)
+        carries, out = step(carries, snaps0, est0)
     jax.block_until_ready(out)
     dt = time.time() - t0
     dispatch_solves_per_s = batch * iters / dt
@@ -163,36 +202,37 @@ def main():
     # the reference's contract is one solve per 5 ms tick
     # (vs_mcp_config.xml:10, variable_sampling_mpc.py:122-123).
     # Two numbers: (a) device-sequential latency — CHAIN dependent ticks
-    # inside one jit and divide, which is what a co-located real-time loop
-    # pays per solve; (b) host round-trip including dispatch — inflated to
-    # tens of ms on this image because the TPU is reached through a network
-    # tunnel ("axon"), so (a) is the deadline-relevant figure.
-    CHAIN = 100
-
+    # over the replayed stream inside one jit and divide, which is what a
+    # co-located real-time loop pays per solve; (b) host round-trip
+    # including dispatch — inflated to tens of ms on this image because the
+    # TPU is reached through a network tunnel ("axon"), so (a) is the
+    # deadline-relevant figure.
     @jax.jit
-    def chain(carry, snap, est):
-        def body(c, _):
-            c, out = tick_lat(c, snap, est)
+    def chain_lat(carry):
+        def body(c, xs):
+            snap_t, est_t = xs
+            c, out = tick_lat(c, snap_t, est_t)
             return c, out.status
-        return jax.lax.scan(body, carry, None, length=CHAIN)
+        return jax.lax.scan(body, carry, (snap_stream, est_stream))
 
-    c1, st = chain(carry, snap, jnp.zeros(4))
+    c1, st = chain_lat(carry)
     jax.block_until_ready(st)
     seq = []
     for _ in range(5):
         t0 = time.perf_counter()
-        c1, st = chain(c1, snap, jnp.zeros(4))
+        c1, st = chain_lat(c1)
         jax.block_until_ready(st)
-        seq.append((time.perf_counter() - t0) / CHAIN)
+        seq.append((time.perf_counter() - t0) / scan_len)
     p50_ms = float(np.median(seq) * 1e3)
 
     step1 = jax.jit(tick_lat)
-    c2, out1 = step1(carry, snap, jnp.zeros(4))
+    c2, out1 = step1(carry, snap_of(1), est_stream[0])
     jax.block_until_ready(out1)
     lats = []
     for _ in range(30):
+        c2, out1 = step1(c2, snap_of(1), est_stream[0])
         t0 = time.perf_counter()
-        c2, out1 = step1(c2, snap, jnp.zeros(4))
+        c2, out1 = step1(c2, snap_of(2), est_stream[1])
         jax.block_until_ready(out1)
         lats.append(time.perf_counter() - t0)
     rt_p50_ms = float(np.median(lats) * 1e3)
@@ -207,11 +247,14 @@ def main():
         "deadline_ms": 5.0,
         "solved_frac": round(solved, 4),
         "per_dispatch_solves_per_s": round(dispatch_solves_per_s, 1),
+        "regime": "static" if static else "flight_replay",
     }
     print(json.dumps(result))
     print(f"# device={jax.devices()[0].platform} batch={batch} "
           f"scan_len={scan_len} compile={compile_s:.1f}s "
-          f"tick={1e3*dt_chain:.3f}ms (device-resident scan) "
+          f"tick={1e3*dt_chain:.3f}ms "
+          f"({'static-snapshot' if static else 'recorded-flight replay'} "
+          "device-resident scan) "
           f"per_dispatch={dispatch_solves_per_s:.0f}/s solved_frac={solved:.3f} "
           f"single_solve_p50={p50_ms:.3f}ms (device-sequential, deadline 5ms) "
           f"host_roundtrip_p50={rt_p50_ms:.3f}ms (tunnel-inflated)",
