@@ -32,6 +32,35 @@ def unskew(m):
     return jnp.stack([m[..., 2, 1], m[..., 0, 2], m[..., 1, 0]], axis=-1)
 
 
+def inv3(M):
+    """Closed-form 3x3 inverse (adjugate / determinant), broadcastable.
+
+    ``jnp.linalg.inv`` lowers batched tiny matrices to a sequential LU that
+    is dispatch-bound on TPU — measured ~1.3 ms/tick of the batch-256
+    chained MPC tick was this one [256,3,3] inverse (the locked-inertia
+    inverse in the RPY-kinematics row). The adjugate form is nine fused
+    elementwise ops. Intended for well-conditioned physical matrices
+    (inertia tensors, Euler-rate maps); no pivoting.
+    """
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    Cc = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    adj = jnp.stack([jnp.stack([A, B, Cc], axis=-1),
+                     jnp.stack([D, E, F], axis=-1),
+                     jnp.stack([G, H, I], axis=-1)], axis=-2)
+    return adj / det[..., None, None]
+
+
 def rotx(a):
     c, s = jnp.cos(a), jnp.sin(a)
     o, z = jnp.ones_like(a), jnp.zeros_like(a)

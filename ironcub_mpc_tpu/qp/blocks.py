@@ -29,7 +29,7 @@ from ..core import constants as C
 from ..core.config import MPCConfig
 from ..core.types import RobotSnapshot
 from ..ops import jet_model as jm
-from ..ops.so3 import euler_rate_matrix_inv, matrix_to_rpy, skew
+from ..ops.so3 import euler_rate_matrix_inv, inv3, matrix_to_rpy, skew
 
 
 class LinearizedDynamics(NamedTuple):
@@ -106,13 +106,20 @@ def linearize(cfg: MPCConfig, snap: RobotSnapshot, init: LambdaInit,
               joint_sel, *, alpha_gravity, pos_com_ref_now,
               est_thrust_dot, thrust_des, thrust_dot_des,
               throttle_cmd) -> LinearizedDynamics:
-    """Build the summed continuous-time system at the current state."""
+    """Build the summed continuous-time system at the current state.
+
+    Assembly is a single block-concatenation per output (row bands built
+    from zero/identity/data blocks), not ``.at[].set`` scatters on a zero
+    matrix: each scatter lowers to its own dynamic-update-slice pass over
+    the whole [batch, 26, 26] buffer, and the ~14 of them measured
+    ~1 ms/tick of the batch-256 chained MPC tick — the single most
+    expensive piece of the tick — while the fused concatenation is one
+    copy per output.
+    """
     dt_ = snap.w_R_b.dtype
     n = cfg.n_states
-    Ac = jnp.zeros((n, n), dt_)
-    BJ = jnp.zeros((n, cfg.n_ctrl_joints), dt_)
-    BT = jnp.zeros((n, cfg.n_jets), dt_)
-    c = jnp.zeros((n,), dt_)
+    assert n == C.N_STATES, "block layout hard-codes the VSconstant order"
+    nj = cfg.n_ctrl_joints
 
     R = snap.w_R_b
     omega_body = R.T @ snap.base_ang_vel_world
@@ -120,50 +127,63 @@ def linearize(cfg: MPCConfig, snap: RobotSnapshot, init: LambdaInit,
     Winv = euler_rate_matrix_inv(rpy)
     S_omega = skew(omega_body)
 
-    # --- angular block (systemDynamicsVSMPC.cpp:79-103) --------------------
-    # φ̇ = W⁻¹ I⁻¹ h_ω
-    Ac = Ac.at[C.RPY, C.ANG_MOM].set(Winv @ jnp.linalg.inv(snap.inertia_locked))
-    # ḣ_ω = A_ang T − S(ω) h_ω + λ_ang Δq
-    Ac = Ac.at[C.ANG_MOM, C.ANG_MOM].add(-S_omega)
-    Ac = Ac.at[C.ANG_MOM, C.THRUST].set(snap.amom_jets_body[3:6])
-    BJ = BJ.at[C.ANG_MOM, :].set(lambda_ang(cfg, snap, init, joint_sel))
-    # RPY-error integrator: ė = φ − φ_init  (constant configure-time ref;
-    # systemDynamicsVSMPC.cpp:97-100)
-    Ac = Ac.at[C.RPY_ERR, C.RPY].set(jnp.eye(3, dtype=dt_))
-    c = c.at[C.RPY_ERR].set(-init.rpy_init)
+    z = lambda r, cc: jnp.zeros((r, cc), dt_)
+    eye3 = jnp.eye(3, dtype=dt_)
+    eye4 = jnp.eye(4, dtype=dt_)
+    cat = lambda *blocks: jnp.concatenate(blocks, axis=-1)
 
-    # --- linear block (systemDynamicsVSMPC.cpp:288-318) --------------------
+    # --- per-band data (systemDynamicsVSMPC.cpp:79-103,288-318,384-429) ----
+    # column layout [COM 3 | LIN 3 | RPY 3 | ANG 3 | T 4 | Ṫ 4 | PE 3 | RE 3]
     # ċ = (1/m) R h_lin
-    Ac = Ac.at[C.COM_POS, C.LIN_MOM].set(R / snap.total_mass)
+    rows_com = cat(z(3, 3), R / snap.total_mass, z(3, 20))
     # ḣ_lin = A_lin T − S(ω) h_lin + λ_lin Δq + α m Rᵀ g
-    Ac = Ac.at[C.LIN_MOM, C.LIN_MOM].add(-S_omega)
-    Ac = Ac.at[C.LIN_MOM, C.THRUST].set(snap.amom_jets_body[0:3])
-    BJ = BJ.at[C.LIN_MOM, :].set(lambda_lin(cfg, snap, init, joint_sel))
+    rows_lin = cat(z(3, 3), -S_omega, z(3, 6), snap.amom_jets_body[0:3],
+                   z(3, 10))
+    # φ̇ = W⁻¹ I⁻¹ h_ω  (closed-form 3x3 inverse: the batched-LU lowering of
+    # jnp.linalg.inv is dispatch-bound on TPU)
+    rows_rpy = cat(z(3, 9), Winv @ inv3(snap.inertia_locked), z(3, 14))
+    # ḣ_ω = A_ang T − S(ω) h_ω + λ_ang Δq
+    rows_ang = cat(z(3, 9), -S_omega, snap.amom_jets_body[3:6], z(3, 10))
+    # error integrators: ė = c − c_ref(t), ė = φ − φ_init (constant
+    # configure-time ref; systemDynamicsVSMPC.cpp:97-100)
+    rows_pe = cat(eye3, z(3, 23))
+    rows_re = cat(z(3, 6), eye3, z(3, 17))
+
     gravity = jnp.asarray([0.0, 0.0, -9.81], dt_)
-    c = c.at[C.LIN_MOM].set(alpha_gravity * snap.total_mass * (R.T @ gravity))
-    # CoM-error integrator: ė = c − c_ref(t)
-    Ac = Ac.at[C.POS_ERR, C.COM_POS].set(jnp.eye(3, dtype=dt_))
-    c = c.at[C.POS_ERR].set(-pos_com_ref_now)
+    c_lin = alpha_gravity * snap.total_mass * (R.T @ gravity)
 
     # --- jet block (systemDynamicsVSMPC.cpp:384-429) -----------------------
     if cfg.use_jet_dynamic:
-        Ac = Ac.at[C.THRUST, C.THRUST_DOT].set(jnp.eye(4, dtype=dt_))
         if cfg.use_estimated_thrust:
             T0, Td0 = snap.jet_thrusts, est_thrust_dot
         else:
             T0, Td0 = thrust_des, thrust_dot_des
         dh_dT = jm.dh_dthrust(T0, Td0, throttle_cmd)
         dh_dTd = jm.dh_dthrust_dot(T0, Td0, throttle_cmd)
-        Ac = Ac.at[C.THRUST_DOT, C.THRUST].set(jnp.diag(dh_dT))
-        Ac = Ac.at[C.THRUST_DOT, C.THRUST_DOT].add(jnp.diag(dh_dTd))
+        rows_T = cat(z(4, 16), eye4, z(4, 6))        # Ṫ = Ṫ
+        rows_Td = cat(z(4, 12), dh_dT[:, None] * eye4,
+                      dh_dTd[:, None] * eye4, z(4, 6))
         # effectiveness always linearised at the *desired* thrust state
         # (systemDynamicsVSMPC.cpp:414-415)
-        BT = BT.at[C.THRUST_DOT, :].set(
-            jnp.diag(jm.g_newton(thrust_des, thrust_dot_des)))
-        c = c.at[C.THRUST_DOT].set(
-            jm.f_newton(T0, Td0) - dh_dT * T0 - dh_dTd * Td0)
+        BT = jnp.concatenate(
+            [z(16, 4), jm.g_newton(thrust_des, thrust_dot_des)[:, None]
+             * eye4, z(6, 4)], axis=-2)
+        c_td = jm.f_newton(T0, Td0) - dh_dT * T0 - dh_dTd * Td0
     else:
         # direct thrust passthrough (systemDynamicsVSMPC.cpp:422-426)
-        BT = BT.at[C.THRUST, :].set(jnp.eye(4, dtype=dt_))
+        rows_T = z(4, 26)
+        rows_Td = z(4, 26)
+        BT = jnp.concatenate([z(12, 4), eye4, z(10, 4)], axis=-2)
+        c_td = jnp.zeros((4,), dt_)
+
+    Ac = jnp.concatenate([rows_com, rows_lin, rows_rpy, rows_ang,
+                          rows_T, rows_Td, rows_pe, rows_re], axis=-2)
+    BJ = jnp.concatenate(
+        [z(3, nj), lambda_lin(cfg, snap, init, joint_sel), z(3, nj),
+         lambda_ang(cfg, snap, init, joint_sel), z(14, nj)], axis=-2)
+    c = jnp.concatenate(
+        [jnp.zeros((3,), dt_), c_lin, jnp.zeros((3,), dt_),
+         jnp.zeros((3,), dt_), jnp.zeros((4,), dt_), c_td,
+         -pos_com_ref_now, -init.rpy_init])
 
     return LinearizedDynamics(Ac, BJ, BT, c)

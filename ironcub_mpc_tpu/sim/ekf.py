@@ -52,7 +52,13 @@ class JetEKF:
         P_pred = A @ P @ A.T + self.Q
         err = z - x_pred
         S = P_pred + self.R
-        K = P_pred @ jnp.linalg.inv(S)
+        # closed-form 2x2 inverse: jnp.linalg.inv lowers batched tiny
+        # matrices to a dispatch-bound sequential LU on TPU (this runs per
+        # jet per 1 kHz substep inside vmapped sweeps)
+        det = S[0, 0] * S[1, 1] - S[0, 1] * S[1, 0]
+        S_inv = jnp.array([[S[1, 1], -S[0, 1]],
+                           [-S[1, 0], S[0, 0]]], P_pred.dtype) / det
+        K = P_pred @ S_inv
         x_new = x_pred + K @ err
         P_new = (jnp.eye(2, dtype=P.dtype) - K) @ P_pred
         return x_new, P_new

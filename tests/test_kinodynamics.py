@@ -222,3 +222,25 @@ def test_locked_inertia_matches_reference_adjoint_formula(ours):
     I_ours = np.asarray(snap.inertia_locked, np.float64)
     scale = np.abs(I_ref).max()
     assert np.abs(I_ours - I_ref).max() / scale < 5e-5, (I_ours, I_ref)
+
+
+def test_inv3_matches_linalg_inv():
+    """Closed-form 3x3 inverse (ops/so3.inv3) vs jnp.linalg.inv on batched
+    well-conditioned physical matrices (inertia-tensor-like SPD + a
+    random-rotation family)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ironcub_mpc_tpu.ops.so3 import inv3
+
+    rng = np.random.default_rng(7)
+    A = rng.normal(size=(64, 3, 3))
+    spd = A @ np.swapaxes(A, -1, -2) + 3.0 * np.eye(3)
+    want = np.linalg.inv(spd)
+    # f32 grade (the library regime; x64 stays off in tests) on
+    # locked-inertia magnitudes (kg m^2 ~ O(1-10))
+    got32 = np.asarray(inv3(jnp.asarray(spd, jnp.float32)))
+    np.testing.assert_allclose(got32, want, rtol=2e-4, atol=2e-5)
+    # and vs the f32 jnp.linalg.inv it replaces — same accuracy class
+    lu32 = np.asarray(jnp.linalg.inv(jnp.asarray(spd, jnp.float32)))
+    np.testing.assert_allclose(got32, lu32, rtol=2e-4, atol=2e-5)
