@@ -117,6 +117,9 @@ class MPCOutput(NamedTuple):
     pos_com_ref: jax.Array        # [3] active CoM reference (telemetry)
     rpy_ref: jax.Array            # [3]
     mom_ref: jax.Array            # [6]
+    # [] bool: the carried-inverse recovery guard re-factorised this tick
+    # (failure forensics, SURVEY §5; concrete False when inapplicable)
+    guard_fired: jax.Array = None
     # per-block introspection; None unless cfg.enable_debug_log_mode (a
     # static config branch — zero overhead when off)
     debug: DebugInfo = None

@@ -52,10 +52,26 @@ class ScenarioConfig:
 class SweepResult(NamedTuple):
     n_scenarios: jnp.ndarray
     n_failed: jnp.ndarray          # diverged (NaN) or failure-threshold hit
-    n_solver_bad: jnp.ndarray      # any non-solved tick
+    n_solver_bad: jnp.ndarray      # any non-solved tick (post-recovery)
     mean_com_err: jnp.ndarray      # mean over healthy scenarios [m]
     max_com_err: jnp.ndarray       # worst healthy scenario [m]
     solved_frac: jnp.ndarray       # fraction of (scenario, tick) solved
+    # --- failure forensics (SURVEY §5; VERDICT r4 weak 4) ----------------
+    # per-status tick counts aggregated over all (scenario, tick) pairs,
+    # POST-recovery when recovery is on: [solved, solved_inaccurate,
+    # primal_infeasible, dual_infeasible, max_iter, guard_fired]
+    status_counts: jnp.ndarray = None      # [6] int32
+    n_ticks_recovered: jnp.ndarray = None  # bad ticks fixed by the retry
+    n_ticks_retried: jnp.ndarray = None    # bad ticks that got a retry
+    # per-lane forensics (host-side arrays, [n]): worst tracking error and
+    # whether any tick stayed non-solved — feeds scenario resampling
+    lane_max_err: jnp.ndarray = None
+    lane_solver_bad: jnp.ndarray = None
+
+
+# status_counts column order
+STATUS_COLS = ("solved", "solved_inaccurate", "primal_infeasible",
+               "dual_infeasible", "max_iter", "guard_fired")
 
 
 def make_batched_carry(carry: LoopCarry, n: int, scen: ScenarioConfig,
@@ -104,11 +120,24 @@ def _sweep_ckpt_restore(path, carry_like, acc_like):
     return out["carry"], out["acc"], int(out["done"])
 
 
+def recovery_settings(settings: admm.ADMMSettings) -> admm.ADMMSettings:
+    """Solver settings for the failure-recovery retry of a bad tick:
+    fresh factorisation + ρ reset (kinv_carry off ignores the carried
+    inverse/ρ and re-factorises at the setup ρ) and an iteration boost
+    with extra adaptive-ρ marks — the closest analogue of re-running OSQP
+    setup after a failed solve (IMPCProblem.cpp:279-297 detects; the
+    reference keeps last commands, this actually retries)."""
+    return dataclasses.replace(
+        settings, kinv_carry=False, max_iter=max(200, 2 * settings.max_iter),
+        rho_update_iters=(25, 75, 150), term_check_every=0)
+
+
 def run_sweep(loop: ClosedLoop, problem, batched_carry: LoopCarry,
               n_ticks: int, mesh: Mesh,
               scen: ScenarioConfig = ScenarioConfig(),
               chunk_ticks: int | None = None,
-              checkpoint_dir: str | None = None) -> SweepResult:
+              checkpoint_dir: str | None = None,
+              recover: bool = False) -> SweepResult:
     """Run every scenario for ``n_ticks`` and reduce statistics on-device.
 
     The scenario batch is sharded over the mesh's "scenario" axis; each
@@ -133,44 +162,76 @@ def run_sweep(loop: ClosedLoop, problem, batched_carry: LoopCarry,
     """
     n = batched_carry.plant.base_p.shape[0]
     chunk = int(chunk_ticks) if chunk_ticks else int(n_ticks)
+    rec_settings = recovery_settings(loop.settings) if recover else None
 
-    def roll_chunk_one(carry, max_err, sum_solved, any_bad, length):
+    def roll_chunk_one(carry, acc, length):
         def body(state, _):
-            carry, max_err, sum_solved, any_bad = state
+            carry, (max_err, sum_solved, any_bad, cnt, n_rec, n_ret) = state
+            carry0 = carry
             carry, tel = loop.tick(problem, carry)
+            if recover:
+                # failure recovery (SURVEY §5): re-run the tick for bad
+                # lanes with a fresh factorisation + iteration boost — a
+                # real branch via the psum-reduced predicate, so good
+                # ticks pay one collective and only ticks with an actual
+                # bad lane pay the retry (same mechanism as kinv_guard)
+                bad = tel.solver_status >= admm.PRIMAL_INFEASIBLE
+                n_bad = jax.lax.psum(bad.astype(jnp.int32),
+                                     admm.BATCH_GUARD_AXIS)
+                carry_r, tel_r = jax.lax.cond(
+                    n_bad > 0,
+                    lambda c0: loop.tick(problem, c0, rec_settings),
+                    lambda c0: (carry, tel), carry0)
+                pick = lambda r, o: jnp.where(bad, r, o)
+                carry = jax.tree.map(pick, carry_r, carry)
+                tel = jax.tree.map(pick, tel_r, tel)
+                rec_ok = bad & ((tel_r.solver_status == admm.SOLVED)
+                                | (tel_r.solver_status
+                                   == admm.SOLVED_INACCURATE))
+                n_ret = n_ret + bad.astype(jnp.int32)
+                n_rec = n_rec + rec_ok.astype(jnp.int32)
             err = jnp.linalg.norm(tel.com_position
                                   - tel.com_position_desired)
             err = jnp.where(jnp.isfinite(err), err, jnp.inf)
             max_err = jnp.maximum(max_err, err)
+            st = tel.solver_status
             sum_solved = sum_solved + (
-                (tel.solver_status == admm.SOLVED)
-                | (tel.solver_status == admm.SOLVED_INACCURATE)
+                (st == admm.SOLVED) | (st == admm.SOLVED_INACCURATE)
             ).astype(jnp.float32)
-            any_bad = any_bad | (tel.solver_status >= admm.PRIMAL_INFEASIBLE)
-            return (carry, max_err, sum_solved, any_bad), None
+            any_bad = any_bad | (st >= admm.PRIMAL_INFEASIBLE)
+            # per-status histogram (STATUS_COLS order) + guard-fired count
+            cnt = cnt + jnp.stack([
+                st == admm.SOLVED, st == admm.SOLVED_INACCURATE,
+                st == admm.PRIMAL_INFEASIBLE, st == admm.DUAL_INFEASIBLE,
+                st == admm.MAX_ITER_REACHED,
+                tel.guard_fired]).astype(jnp.int32)
+            return (carry, (max_err, sum_solved, any_bad, cnt, n_rec,
+                            n_ret)), None
 
-        state, _ = jax.lax.scan(body, (carry, max_err, sum_solved, any_bad),
-                                None, length=length)
+        state, _ = jax.lax.scan(body, (carry, acc), None, length=length)
         return state
 
     def chunk_fn(length):
-        @partial(jax.jit, static_argnums=())
+        @jax.jit
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P("scenario"),) * 4, out_specs=(P("scenario"),) * 4,
+                 in_specs=(P("scenario"), P("scenario")),
+                 out_specs=(P("scenario"), P("scenario")),
                  check_vma=False)
-        def step(shard_carry, max_err, sum_solved, any_bad):
+        def step(shard_carry, acc):
             # axis_name feeds the batch-level kinv_guard
-            # (ADMMSettings.guard_axis)
+            # (ADMMSettings.guard_axis) and the recovery predicate
             return jax.vmap(
-                lambda c, m, s, b: roll_chunk_one(c, m, s, b, length),
-                axis_name=admm.BATCH_GUARD_AXIS)(
-                    shard_carry, max_err, sum_solved, any_bad)
+                lambda c, a: roll_chunk_one(c, a, length),
+                axis_name=admm.BATCH_GUARD_AXIS)(shard_carry, acc)
         return step
 
     carry = batched_carry
-    max_err = jnp.zeros((n,), jnp.float32)
-    sum_solved = jnp.zeros((n,), jnp.float32)
-    any_bad = jnp.zeros((n,), bool)
+    acc = (jnp.zeros((n,), jnp.float32),      # max_err
+           jnp.zeros((n,), jnp.float32),      # sum_solved
+           jnp.zeros((n,), bool),             # any_bad
+           jnp.zeros((n, 6), jnp.int32),      # status histogram
+           jnp.zeros((n,), jnp.int32),        # n recovered
+           jnp.zeros((n,), jnp.int32))        # n retried
     done = 0
     ckpt_path = None
     if checkpoint_dir is not None:
@@ -178,20 +239,17 @@ def run_sweep(loop: ClosedLoop, problem, batched_carry: LoopCarry,
 
         ckpt_path = Path(checkpoint_dir) / "sweep_state"
         if ckpt_path.exists():
-            carry, (max_err, sum_solved, any_bad), done = \
-                _sweep_ckpt_restore(ckpt_path, carry,
-                                    (max_err, sum_solved, any_bad))
+            carry, acc, done = _sweep_ckpt_restore(ckpt_path, carry, acc)
     step_full = chunk_fn(chunk)
     while done < n_ticks:
         length = min(chunk, n_ticks - done)
         step = step_full if length == chunk else chunk_fn(length)
-        carry, max_err, sum_solved, any_bad = step(
-            carry, max_err, sum_solved, any_bad)
-        jax.block_until_ready(max_err)
+        carry, acc = step(carry, acc)
+        jax.block_until_ready(acc[0])
         done += length
         if ckpt_path is not None:
-            _sweep_ckpt_save(ckpt_path, carry,
-                             (max_err, sum_solved, any_bad), done)
+            _sweep_ckpt_save(ckpt_path, carry, acc, done)
+    max_err, sum_solved, any_bad, cnt, n_rec, n_ret = acc
 
     @partial(shard_map, mesh=mesh, in_specs=(P("scenario"),) * 3,
              out_specs=P(), check_vma=False)
@@ -217,4 +275,9 @@ def run_sweep(loop: ClosedLoop, problem, batched_carry: LoopCarry,
         n_solver_bad=n_bad,
         mean_com_err=sum_err / jnp.maximum(n_h, 1),
         max_com_err=worst,
-        solved_frac=solved_frac)
+        solved_frac=solved_frac,
+        status_counts=jnp.sum(cnt, axis=0),
+        n_ticks_recovered=jnp.sum(n_rec),
+        n_ticks_retried=jnp.sum(n_ret),
+        lane_max_err=max_err,
+        lane_solver_bad=any_bad)

@@ -94,7 +94,8 @@ def _zero_payload(cfg: MPCConfig, carry, n_joints: int, dtype=jnp.float32):
         status=jnp.zeros((), jnp.int32), pri_res=z(), dua_res=z(),
         kinv=None if slim else z(nU, nU),
         rho_vec=None if slim else z(nb),
-        rho_scalar=None if slim else z())
+        rho_scalar=None if slim else z(),
+        guard_fired=jnp.zeros((), bool))
     if cfg.enable_debug_log_mode:
         from ..core.types import DebugInfo
 
@@ -109,7 +110,7 @@ def _zero_payload(cfg: MPCConfig, carry, n_joints: int, dtype=jnp.float32):
         thrust_dot_des=z(4), final_state=z(ns),
         status=jnp.zeros((), jnp.int32), pri_res=z(), dua_res=z(),
         alpha_gravity=z(), pos_com_ref=z(3), rpy_ref=z(3), mom_ref=z(6),
-        debug=debug)
+        guard_fired=jnp.zeros((), bool), debug=debug)
     return _Payload(carry=carry, state_ref=z(ns, ni),
                     lin=lin, x0=z(ns), pin=jnp.zeros((), bool), qp=qp,
                     csol=csol, out=out)

@@ -58,6 +58,10 @@ class CondensedSolution(NamedTuple):
     kinv: jnp.ndarray = None         # [nU, nU] (K(ρ))⁻¹ pre-polish
     rho_vec: jnp.ndarray = None      # [n_box]
     rho_scalar: jnp.ndarray = None   # []
+    # [] bool: the kinv_guard recovery branch re-factorised this solve
+    # (failure forensics, SURVEY §5; always a concrete scalar, False when
+    # the guard is off or there was no carried inverse)
+    guard_fired: jnp.ndarray = None
 
 
 class CondensedScaling(NamedTuple):
@@ -716,6 +720,7 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
         bounds = [0] + marks + [settings.max_iter]
         rho_scalar = rho_scalar0
         rho_vec = rho0
+        guard_fired = jnp.asarray(False)
         if kinv_prev is None:
             Kinv = lift(factor(rho_vec))
         else:
@@ -795,6 +800,7 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
                 if resid is None:
                     resid = kinv_probe_resid(lower(Kinv), rho_vec)
                 bad = ~jnp.isfinite(resid) | (resid > 0.1)
+                guard_fired = bad
                 if settings.guard_axis is not None:
                     # Batch-level guard: under vmap(axis_name=guard_axis)
                     # a plain lax.cond on the per-lane flag lowers to
@@ -964,4 +970,4 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
     return CondensedSolution(
         u=u, y=y * E / c_s, states=states, status=status.astype(jnp.int32),
         pri_res=pri, dua_res=dua, kinv=kinv_out, rho_vec=rho_out,
-        rho_scalar=rho_scalar_out)
+        rho_scalar=rho_scalar_out, guard_fired=guard_fired)

@@ -443,6 +443,7 @@ def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
             carry = carry._replace(kinv=csol.kinv, rho_vec=csol.rho_vec,
                                    rho_scalar=csol.rho_scalar)
         status, pri_res, dua_res = csol.status, csol.pri_res, csol.dua_res
+        guard_fired = csol.guard_fired
         delta_joints = csol.u[:nj]
         throttle_v = csol.u[nj * cfg.control_horizon:
                             nj * cfg.control_horizon + nt]
@@ -461,6 +462,7 @@ def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
         sol = admm.solve_prepared(data, settings, x0=carry.warm_x,
                                   y0=carry.warm_y)
         status, pri_res, dua_res = sol.status, sol.pri_res, sol.dua_res
+        guard_fired = jnp.asarray(False)
         ns = cfg.n_states
         # extraction (variableSamplingMPC.cpp:88-112)
         delta_joints = sol.x[cfg.joints_offset:cfg.joints_offset + nj]
@@ -481,12 +483,14 @@ def mpc_tick(cfg: MPCConfig, sched: HorizonSchedule, joint_sel: Tuple[int, ...],
 
     return _finish_tick(cfg, sel, carry, delta_joints, throttle_v,
                         thrust_des, thrust_dot_des, final_state, status,
-                        pri_res, dua_res, warm_x, warm_y, debug)
+                        pri_res, dua_res, warm_x, warm_y, debug,
+                        guard_fired)
 
 
 def _finish_tick(cfg, sel, carry: MPCCarry, delta_joints, throttle_v,
                  thrust_des, thrust_dot_des, final_state, status, pri_res,
-                 dua_res, warm_x, warm_y, debug):
+                 dua_res, warm_x, warm_y, debug,
+                 guard_fired=None):
     """Command integration + output assembly (variableSamplingMPC.cpp:88-112:
     joint deltas integrate into the absolute reference, throttle
     destandardizes; non-solved ticks keep the previous commands)."""
@@ -514,6 +518,8 @@ def _finish_tick(cfg, sel, carry: MPCCarry, delta_joints, throttle_v,
         pos_com_ref=carry.pos_com_ref_now,
         rpy_ref=carry.rpy_ref_now,
         mom_ref=carry.mom_ref_now,
+        guard_fired=(jnp.asarray(False) if guard_fired is None
+                     else guard_fired),
         debug=debug,
     )
     return carry, out
@@ -554,4 +560,4 @@ def extract_condensed(cfg: MPCConfig, joint_sel, carry: MPCCarry,
         cfg, sel, carry, delta_joints, throttle_v,
         csol.states[0, C.THRUST], csol.states[0, C.THRUST_DOT],
         csol.states[-1], csol.status, csol.pri_res, csol.dua_res,
-        csol.u, csol.y, debug)
+        csol.u, csol.y, debug, csol.guard_fired)

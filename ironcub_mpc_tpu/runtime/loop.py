@@ -68,6 +68,10 @@ class TickTelemetry(NamedTuple):
     zmp: jnp.ndarray
     on_ground: jnp.ndarray
     ext_wrench_sum: jnp.ndarray
+    # [] bool: carried-inverse recovery guard re-factorised this tick
+    # (failure forensics; defaulted so positional construction stays
+    # compatible)
+    guard_fired: jnp.ndarray = None
     # per-block QP introspection; None unless enable_debug_log_mode
     debug: object = None
 
@@ -128,14 +132,20 @@ class ClosedLoop:
 
     # ------------------------------------------------------------------
 
-    def tick(self, problem, carry: LoopCarry) -> Tuple[LoopCarry, TickTelemetry]:
-        """One 5 ms control tick + 5 plant substeps (pure, scannable)."""
+    def tick(self, problem, carry: LoopCarry,
+             settings: admm.ADMMSettings | None = None
+             ) -> Tuple[LoopCarry, TickTelemetry]:
+        """One 5 ms control tick + 5 plant substeps (pure, scannable).
+
+        ``settings`` overrides the loop's solver settings for this tick —
+        the failure-recovery pass re-runs a bad tick with a fresh
+        factorisation + boosted iterations (parallel/monte_carlo.py)."""
         s = carry.plant
         snap, s = self.snapshot(s)
         est_td = s.ekf.x[..., 1]
         mpc_carry, out = vs_mpc.mpc_tick(
-            self.cfg, self.sched, self.sel, self.settings, problem,
-            carry.mpc, snap, est_td)
+            self.cfg, self.sched, self.sel, settings or self.settings,
+            problem, carry.mpc, snap, est_td)
 
         # apply commands (variable_sampling_mpc.py:124-135)
         if not self.plant.sim_cfg.use_nn_jet_dynamics:
@@ -172,6 +182,7 @@ class ClosedLoop:
             solver_status=out.status,
             pri_res=out.pri_res,
             dua_res=out.dua_res,
+            guard_fired=out.guard_fired,
             zmp=snap.zmp,
             on_ground=snap.on_ground,
             ext_wrench_sum=snap.ext_wrench_sum,

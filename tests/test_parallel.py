@@ -170,3 +170,54 @@ def test_sweep_checkpoint_resume_equivalence(loop_setup, tmp_path):
                                float(ref.max_com_err), rtol=1e-6)
     assert int(res.n_failed) == int(ref.n_failed)
     assert float(res.solved_frac) == float(ref.solved_frac)
+
+
+def test_sweep_status_histogram(loop_setup):
+    """Forensics: the per-status tick histogram must partition all
+    (scenario, tick) pairs and agree with solved_frac."""
+    loop, problem, carry = loop_setup
+    scen = ScenarioConfig(wind_force_std=2.0, thrust_scale_std=0.02,
+                          base_vel_std=0.01, joint_pos_std=0.002)
+    batched = make_batched_carry(carry, 8, scen, seed=7)
+    mesh = make_mesh(n_scenario=8, n_kkt=1)
+    res = run_sweep(loop, problem, batched, n_ticks=5, mesh=mesh, scen=scen)
+    cnt = np.asarray(res.status_counts)
+    assert cnt.shape == (6,)
+    # the five status columns partition all ticks (guard column is extra)
+    assert cnt[:5].sum() == 8 * 5
+    np.testing.assert_allclose(
+        (cnt[0] + cnt[1]) / (8 * 5), float(res.solved_frac), rtol=1e-6)
+    assert res.lane_max_err.shape == (8,)
+    assert res.lane_solver_bad.shape == (8,)
+
+
+def test_sweep_recovery_fixes_bad_ticks(loop_setup):
+    """Failure recovery (SURVEY §5): with a crippled primary solver
+    (max_iter=3) most ticks are MAX_ITER; the psum-guarded retry with
+    recovery_settings (fresh factorisation + iteration boost) must lift
+    solved_frac to ~1 and report the retried/recovered counts."""
+    import dataclasses
+
+    loop, problem, carry = loop_setup
+    scen = ScenarioConfig(wind_force_std=2.0, thrust_scale_std=0.02,
+                          base_vel_std=0.01, joint_pos_std=0.002)
+    mesh = make_mesh(n_scenario=8, n_kkt=1)
+    old = loop.settings
+    try:
+        loop.settings = dataclasses.replace(old, max_iter=3,
+                                            rho_update_iters=(),
+                                            polish=False)
+        batched = make_batched_carry(carry, 8, scen, seed=9)
+        base = run_sweep(loop, problem, batched, n_ticks=4, mesh=mesh,
+                         scen=scen)
+        assert float(base.solved_frac) < 0.5  # the cripple works
+        batched = make_batched_carry(carry, 8, scen, seed=9)
+        rec = run_sweep(loop, problem, batched, n_ticks=4, mesh=mesh,
+                        scen=scen, recover=True)
+        assert int(rec.n_ticks_retried) > 0
+        assert int(rec.n_ticks_recovered) > 0
+        # post-recovery histogram reflects the retried outcomes
+        assert float(rec.solved_frac) > float(base.solved_frac) + 0.4
+        assert int(rec.n_ticks_recovered) <= int(rec.n_ticks_retried)
+    finally:
+        loop.settings = old

@@ -18,9 +18,17 @@ reference's), so a from-standing sweep measures gravity, not robustness.
 
 Usage: python tools/run_robustness_sweep.py [n_scenarios=256] [seconds=10]
            [--skip 22] [--out SWEEP.json] [--ckpt DIR] [--ns-skip]
+           [--no-recover] [--no-resample]
 
 With --ckpt the per-level sweep state is checkpointed after every chunk
 (orbax); re-running the same command resumes interrupted levels.
+
+Round-5 forensics (SURVEY §5, VERDICT r4 weak 4 / missing 3): each level
+reports the per-status tick histogram (solved / inaccurate / infeasible /
+max-iter / guard-fired), solver-failure RECOVERY is on by default (bad
+ticks are retried with a fresh factorisation + iteration boost through a
+psum-guarded real branch; --no-recover disables), and failed scenarios
+are RESAMPLED once with replacement draws (--no-resample disables).
 """
 
 import dataclasses
@@ -98,6 +106,10 @@ def main():
     # momentum-tracking flight controller produces a steady offset
     # roughly proportional to the gust, so one pooled number hides the
     # shape; failure = diverged past 1.0 m from the reference path
+    from ironcub_mpc_tpu.parallel.monte_carlo import STATUS_COLS
+
+    recover = "--no-recover" not in sys.argv
+    resample = "--no-resample" not in sys.argv
     wind_levels = [5.0, 10.0, 20.0]
     n_per = max(n_dev, n_scen // len(wind_levels) // n_dev * n_dev)
     levels_out = []
@@ -111,9 +123,10 @@ def main():
               f"[{jax.devices()[0].platform}] ...", flush=True)
         ck = (str(ckpt_root / f"wind_{int(w_std)}") if ckpt_root else None)
         res = run_sweep(loop, problem, batched, n_ticks=n_ticks, mesh=mesh,
-                        scen=scen, chunk_ticks=250, checkpoint_dir=ck)
+                        scen=scen, chunk_ticks=250, checkpoint_dir=ck,
+                        recover=recover)
         jax.block_until_ready(res.mean_com_err)
-        levels_out.append({
+        level = {
             "wind_force_std_n": w_std,
             "n_scenarios": int(res.n_scenarios),
             "n_failed": int(res.n_failed),
@@ -122,7 +135,33 @@ def main():
             "solved_frac": round(float(res.solved_frac), 6),
             "mean_max_com_err_m": round(float(res.mean_com_err), 4),
             "worst_healthy_com_err_m": round(float(res.max_com_err), 4),
-        })
+            # forensics: per-status tick histogram + recovery outcome
+            "status_counts": {k: int(v) for k, v in
+                              zip(STATUS_COLS,
+                                  np.asarray(res.status_counts))},
+            "recovery_on": recover,
+            "n_ticks_retried": int(res.n_ticks_retried),
+            "n_ticks_recovered": int(res.n_ticks_recovered),
+        }
+        # scenario resampling (SURVEY §5): failed scenarios are replaced
+        # by fresh draws at the same severity and re-flown once — keeps
+        # the level's statistics at n_per honest draws instead of
+        # conditioning on the unlucky ones
+        if resample and int(res.n_failed) > 0:
+            n_re = max(n_dev,
+                       -(-int(res.n_failed) // n_dev) * n_dev)
+            re_batched = make_batched_carry(
+                carry, n_re, scen, seed=int(w_std * 100) + 7919)
+            re_res = run_sweep(loop, problem, re_batched, n_ticks=n_ticks,
+                               mesh=mesh, scen=scen, chunk_ticks=250,
+                               recover=recover)
+            level["resampled"] = {
+                "n_drawn": n_re,
+                "n_failed": int(re_res.n_failed),
+                "solved_frac": round(float(re_res.solved_frac), 6),
+                "mean_max_com_err_m": round(float(re_res.mean_com_err), 4),
+            }
+        levels_out.append(level)
     wall = time.time() - t0
 
     total = n_per * len(wind_levels)
