@@ -125,12 +125,19 @@ class KinDyn:
         Jb = jnp.broadcast_to(self.base_block(base_p), (self.L, 6, 6))
         return jnp.concatenate([Jb, Jq], axis=-1)
 
-    def link_spatial_inertias(self, ls: LinkState):
-        """[L, 6, 6] spatial inertia of every link at the world origin."""
+    def link_spatial_inertias(self, ls: LinkState, mass=None, inertia=None):
+        """[L, 6, 6] spatial inertia of every link at the world origin.
+
+        ``mass``/``inertia`` override the model's nominal inertial
+        parameters — the plant-side hook for model-mismatch robustness
+        sweeps (the controller keeps linearising against the nominal
+        model while the plant flies perturbed parameters)."""
+        mass_ = self._mass if mass is None else mass
+        inertia_ = self._inertia if inertia is None else inertia
         c_w = ls.p + jnp.einsum("lab,lb->la", ls.R, self._com)  # world CoM
-        I_w = jnp.einsum("lab,lbc,ldc->lad", ls.R, self._inertia, ls.R)
+        I_w = jnp.einsum("lab,lbc,ldc->lad", ls.R, inertia_, ls.R)
         Sc = skew(c_w)
-        m = self._mass[:, None, None]
+        m = mass_[:, None, None]
         eye = jnp.broadcast_to(jnp.eye(3, dtype=self.dtype), (self.L, 3, 3))
         top = jnp.concatenate([m * eye, -m * Sc], axis=-1)
         bot = jnp.concatenate([m * Sc, I_w - m * Sc @ Sc], axis=-1)

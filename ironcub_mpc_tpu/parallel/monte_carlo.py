@@ -47,6 +47,12 @@ class ScenarioConfig:
     base_vel_std: float = 0.05         # m/s initial base-velocity noise
     joint_pos_std: float = 0.01        # rad initial posture noise
     com_err_fail: float = 0.5          # m: tracking error declaring failure
+    # model-mismatch axis (sim-to-real margin): the plant flies perturbed
+    # inertial parameters / jet placements while the controller keeps the
+    # nominal model. 0 = controller model == plant model (the reference's
+    # only regime).
+    mass_scale_std: float = 0.0        # per-link mass+inertia rel. error
+    jet_pos_std_m: float = 0.0         # m, per-jet placement error (link frame)
 
 
 class SweepResult(NamedTuple):
@@ -80,8 +86,10 @@ def make_batched_carry(carry: LoopCarry, n: int, scen: ScenarioConfig,
     perturbations to the plant state."""
     batched = jax.tree.map(lambda a: jnp.stack([a] * n), carry)
     key = jax.random.PRNGKey(seed)
-    k_wind, k_scale, k_vel, k_q, k_rng = jax.random.split(key, 5)
+    k_wind, k_scale, k_vel, k_q, k_rng, k_mass, k_jet = jax.random.split(
+        key, 7)
     dt_ = carry.plant.base_p.dtype
+    n_links = carry.plant.mass_scale.shape[-1]
     plant = batched.plant._replace(
         wind_force=scen.wind_force_std * jax.random.normal(k_wind, (n, 3), dt_),
         thrust_scale=1.0 + scen.thrust_scale_std
@@ -92,6 +100,11 @@ def make_batched_carry(carry: LoopCarry, n: int, scen: ScenarioConfig,
         + scen.joint_pos_std * jax.random.normal(k_q, batched.plant.q.shape, dt_),
         rng=jax.vmap(jax.random.PRNGKey)(
             jax.random.randint(k_rng, (n,), 0, 2**31 - 1)),
+        mass_scale=jnp.clip(
+            1.0 + scen.mass_scale_std
+            * jax.random.normal(k_mass, (n, n_links), dt_), 0.2, 5.0),
+        jet_pos_offset=scen.jet_pos_std_m
+        * jax.random.normal(k_jet, (n, 4, 3), dt_),
     )
     return batched._replace(plant=plant)
 

@@ -50,6 +50,11 @@ class PlantState(NamedTuple):
     # scenario perturbations (robustness sweeps; zero/one = nominal)
     wind_force: jnp.ndarray   # [3] world-frame gust force applied at the base
     thrust_scale: jnp.ndarray  # [4] multiplicative thrust-model error
+    # model-mismatch perturbations: the PLANT flies these perturbed
+    # inertial/placement parameters while the controller keeps linearising
+    # against the nominal model (sim-to-real margin; ones/zeros = nominal)
+    mass_scale: jnp.ndarray = None    # [L] per-link mass (+inertia) scale
+    jet_pos_offset: jnp.ndarray = None  # [4,3] jet placement error, link frame
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,7 +108,9 @@ class Plant:
             qd=jnp.zeros(n, dt_), thrust_nn=t0, ekf=self.ekf.init(t0),
             throttle=jnp.zeros(4, dt_), q_des=jnp.asarray(q, dt_),
             thrust_cmd=t0, rng=jax.random.PRNGKey(seed),
-            wind_force=jnp.zeros(3, dt_), thrust_scale=jnp.ones(4, dt_))
+            wind_force=jnp.zeros(3, dt_), thrust_scale=jnp.ones(4, dt_),
+            mass_scale=jnp.ones(self.kd.L, dt_),
+            jet_pos_offset=jnp.zeros((4, 3), dt_))
 
     # ------------------------------------------------------------------
     # actuation setters (the MujocoSim set_* API)
@@ -189,9 +196,15 @@ class Plant:
             thrust = s.thrust_cmd
 
         # --- kinodynamics at current state ---------------------------------
+        # mass_scale applies the per-scenario inertial-parameter error to
+        # the TRUE dynamics (mass and rotational inertia scale together —
+        # a mis-estimated segment mass); the controller's snapshot keeps
+        # using the nominal model
         ls = kd.fk(s.base_R, s.base_p, s.q)
         J = kd.link_spatial_jacobians(ls, s.base_p)
-        I_sp, c_w, _ = kd.link_spatial_inertias(ls)
+        I_sp, c_w, _ = kd.link_spatial_inertias(
+            ls, mass=kd._mass * s.mass_scale,
+            inertia=kd._inertia * s.mass_scale[:, None, None])
         M = kd.mass_matrix(J, I_sp)
         nu = jnp.concatenate([s.base_v, s.qd])
         gravity = jnp.asarray(self.robot_cfg.gravity, kd.dtype)
@@ -205,10 +218,12 @@ class Plant:
         tau = tau.at[6:].set(pd)
 
         # jet thrust: pure force f = a_i T_i at the jet frame origin
-        # (thrust_scale models per-scenario turbine mismatch)
+        # (thrust_scale models per-scenario turbine mismatch;
+        # jet_pos_offset a per-scenario placement error in the link frame)
         for i, fr in enumerate(self._jet_frames):
             R_f = ls.R[fr.link] @ jnp.asarray(fr.R, kd.dtype)
-            p_f = ls.p[fr.link] + ls.R[fr.link] @ jnp.asarray(fr.p, kd.dtype)
+            p_f = (ls.p[fr.link] + ls.R[fr.link]
+                   @ (jnp.asarray(fr.p, kd.dtype) + s.jet_pos_offset[i]))
             axis = R_f @ jnp.asarray([0.0, 0.0, -1.0], kd.dtype)
             f = axis * (thrust[i] * s.thrust_scale[i])
             F_O = jnp.concatenate([f, jnp.cross(p_f, f)])
