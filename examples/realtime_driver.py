@@ -65,7 +65,12 @@ def run(n_ticks: int = 1000, period_s: float = 0.005,
 
     tick = jax.jit(_tick, donate_argnums=(0,))
     est = jnp.zeros(4)
-    carry, record = tick(carry, snap, est)       # compile outside the loop
+    # compile + pre-touch outside the paced loop: run enough un-paced
+    # ticks that allocator pools, donation buffers and host callbacks are
+    # all steady before the first deadline is armed (overrun forensics,
+    # VERDICT r4 weak 6 — round-4 overruns clustered at loop start)
+    for _ in range(20):
+        carry, record = tick(carry, snap, est)
     jax.block_until_ready(record)
 
     ring = TelemetryRing(capacity=4096, record_len=RECORD_LEN)
@@ -86,12 +91,16 @@ def run(n_ticks: int = 1000, period_s: float = 0.005,
     import gc
 
     gc.collect()
+    gc.freeze()     # survivors out of the young generations for good
     gc.disable()                      # no collector pauses inside the loop
     pacer = RealtimePacer(period_s)
     solve_times = np.zeros(n_ticks)
+    overrun_events = []               # (tick, lateness_ms) per overrun
     rec = np.zeros(RECORD_LEN, np.float32)
     for i in range(n_ticks):
-        pacer.wait()
+        late = pacer.wait()
+        if late > 0:
+            overrun_events.append((i, late * 1e3))
         t0 = time.perf_counter()
         carry, record = tick(carry, snap, est)
         host = np.asarray(record)     # single device->host transfer
@@ -110,8 +119,21 @@ def run(n_ticks: int = 1000, period_s: float = 0.005,
                   f"ring dropped {ring.dropped}")
 
     gc.enable()
+    gc.unfreeze()
     stop.set()
     th.join(timeout=2.0)
+    # overrun forensics (the reference prints a per-overrun warning,
+    # variable_sampling_mpc.py:122-123): classify every overrun by tick
+    # index so warmup transients and steady-state misses are separable
+    warmup_n = 50
+    n_warm = sum(1 for t, _ in overrun_events if t < warmup_n)
+    # a single long OS stall shows up as a decaying BURST of consecutive
+    # overruns under absolute-deadline pacing (the pacer never skips
+    # deadlines, so a 30 ms stall takes ~10 ticks to amortise at ~3 ms
+    # slack/tick): count distinct stall events = overruns whose previous
+    # tick was on time
+    ticks_set = {t for t, _ in overrun_events}
+    n_stalls = sum(1 for t, _ in overrun_events if (t - 1) not in ticks_set)
     stats = dict(
         ticks=n_ticks,
         native=available(),
@@ -119,6 +141,11 @@ def run(n_ticks: int = 1000, period_s: float = 0.005,
         p99_solve_ms=float(np.percentile(solve_times, 99)),
         overruns=pacer.overruns,
         worst_lateness_ms=pacer.worst_lateness * 1e3,
+        overruns_warmup=n_warm,                  # tick < 50
+        overruns_steady=len(overrun_events) - n_warm,
+        stall_events=n_stalls,                   # distinct bursts
+        overrun_events=[[int(t), round(l, 3)]
+                        for t, l in overrun_events[:100]],
         ring_dropped=ring.dropped,
         drained_records=drained[0],
     )
@@ -128,8 +155,11 @@ def run(n_ticks: int = 1000, period_s: float = 0.005,
               f"(native runtime: {stats['native']})")
         print(f"solve: mean {stats['mean_solve_ms']:.3f} ms, "
               f"p99 {stats['p99_solve_ms']:.3f} ms (budget {budget:.1f} ms)")
-        print(f"pacer: {stats['overruns']} overruns, worst lateness "
-              f"{stats['worst_lateness_ms']:.3f} ms")
+        print(f"pacer: {stats['overruns']} overruns "
+              f"({n_warm} warmup / {stats['overruns_steady']} steady), "
+              f"worst lateness {stats['worst_lateness_ms']:.3f} ms")
+        for t, l in overrun_events[:20]:
+            print(f"  overrun at tick {t}: {l:.2f} ms late")
         print(f"telemetry: {stats['drained_records']} records drained to "
               f"{drain_path}, {stats['ring_dropped']} dropped")
     return stats

@@ -8,7 +8,12 @@ reference 5 ms period on the CPU backend (the TPU here sits behind a
 reference contract: variable_sampling_mpc.py:110-123).
 
 Usage: env PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
-          python tools/capture_rt.py [n_ticks=2500] [out=RT_r04.json]
+          python tools/capture_rt.py [n_ticks=2500] [out=RT_r05.json]
+
+Round 5 adds overrun forensics: per-overrun (tick, lateness) events with
+a warmup/steady classification (the reference's per-overrun warning,
+variable_sampling_mpc.py:122-123), plus pre-touch warmup ticks and
+gc.freeze before the paced loop.
 """
 
 import json
@@ -22,7 +27,7 @@ sys.path.insert(0, str(ROOT / "examples"))
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2500
-    out = ROOT / (sys.argv[2] if len(sys.argv) > 2 else "RT_r04.json")
+    out = ROOT / (sys.argv[2] if len(sys.argv) > 2 else "RT_r05.json")
 
     import jax
 
