@@ -49,7 +49,7 @@ def standing_state(plant, q0_deg):
 
 
 def build_flight_loop(use_nn: bool = True, max_iter: int = 120,
-                      rho_update_iters=(20, 50)):
+                      rho_update_iters=(20, 50), term_check_every: int = 5):
     """Flight-configured :class:`~ironcub_mpc_tpu.runtime.loop.ClosedLoop`
     plus the converted reference trajectories (BASELINE config 3)."""
     from ..core.config import MPCConfig, RobotConfig, SimConfig
@@ -74,8 +74,13 @@ def build_flight_loop(use_nn: bool = True, max_iter: int = 120,
                   lstm=lstm)
     cfg = dataclasses.replace(MPCConfig(),
                               weight_regularization_joint_pos=200.0)
+    # term_check_every: stop iterating once the OSQP termination criterion
+    # holds (ADMMSettings docstring) — on the mission most ticks converge
+    # in ~15-25 of the 120-iteration cap, and in batched sweeps the
+    # sweep tools set guard_axis so the skip stays a real branch
     loop = ClosedLoop(plant, cfg, admm.ADMMSettings(
-        max_iter=max_iter, rho_update_iters=tuple(rho_update_iters)))
+        max_iter=max_iter, rho_update_iters=tuple(rho_update_iters),
+        term_check_every=term_check_every))
     pos_traj = load_npz(str(ROOT / "data/trajectories/minimum_jerk.npz"))
     alpha_traj = load_npz(str(ROOT / "data/trajectories/alpha_gravity.npz"),
                           des_fps=1.0 / loop.cfg.period_mpc)
