@@ -138,7 +138,9 @@ class ADMMSettings:
     # per-lane select. Must match the vmap axis_name or tracing fails;
     # leave None on the unbatched real-time path.
     guard_axis: str | None = None
-    # early segment exit (condensed solver): when > 0, each fixed-length
+    # early segment exit (CONDENSED solver path; the full-space batched
+    # solver keeps fixed iterations — its batch-1 early-exit variant is
+    # solve_adaptive): when > 0, each fixed-length
     # ADMM segment runs as chunks of this many iterations, and between
     # chunks the OSQP termination criterion is evaluated — once EVERY lane
     # satisfies it, the remaining chunks are skipped through a real

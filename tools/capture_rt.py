@@ -37,6 +37,16 @@ def main():
     stats["period_ms"] = 5.0
     stats["backend"] = jax.default_backend()
     stats["overrun_frac"] = round(stats["overruns"] / n, 5)
+    # the round-5 forensics finding: every round-4 overrun was OS
+    # preemption (decaying bursts after single ~25 ms stalls, zero
+    # warmup) — under SCHED_FIFO (`chrt -f 10 python tools/capture_rt.py`)
+    # 2500 ticks run with ZERO overruns. Record the policy so artifacts
+    # are comparable.
+    import os as _os
+
+    policy = _os.sched_getscheduler(0)
+    stats["sched_policy"] = {0: "SCHED_OTHER", 1: "SCHED_FIFO",
+                             2: "SCHED_RR"}.get(policy, str(policy))
     out.write_text(json.dumps(stats, indent=1) + "\n")
     print(f"wrote {out}")
 
