@@ -307,6 +307,10 @@ def test_batch_guard_recovers_corrupted_lane():
     st = np.asarray(out_b.status)
     assert np.all((st == admm.SOLVED) | (st == admm.SOLVED_INACCURATE)), st
     assert np.all(np.isfinite(np.asarray(carry_out.kinv)))
+    # forensics: guard_fired reports exactly the corrupted lane
+    gf = np.asarray(out_b.guard_fired)
+    assert gf[2], gf
+    assert not gf[0] and not gf[1] and not gf[3], gf
 
     # per-lane reference: the original lane-mode guard, unbatched
     for i in range(n):
