@@ -400,3 +400,75 @@ def test_joint_limits_respected(sequences):
     late = jp[10:]
     assert np.all(late >= qmin[None, :] - 1e-3)
     assert np.all(late <= qmax[None, :] + 1e-3)
+
+
+def test_bench_solver_config_fidelity_on_recorded_stream():
+    """The HEADLINE bench configuration (max_iter=40, rho mark at 15,
+    batch-guard + ns_skip_tol + term_check_every early exit — the exact
+    solver bench.py measures) must keep command fidelity against a
+    400-iteration deep solve over the recorded real-flight stream: the
+    throughput number is only meaningful if the benched solver is
+    production-grade."""
+    import dataclasses
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    npz = np.load(Path(__file__).parent / "golden" / "flight_snapshots.npz")
+    cfg = dataclasses.replace(MPCConfig(),
+                              weight_regularization_joint_pos=200.0)
+    sched = build_schedule(cfg)
+    sel = joint_selector(RobotConfig(), cfg)
+    snap_fields = {f: jnp.asarray(npz[f"snap_{f}"], jnp.float32)
+                   for f in RobotSnapshot._fields}
+    to_snap = lambda t: RobotSnapshot(
+        **{f: snap_fields[f][t] for f in RobotSnapshot._fields})
+    channels = {k: np.asarray(npz[f"ch_{k}"]) for k in
+                ("positionCoM", "velocityCoM", "RPY", "RPYDot")}
+    alpha = np.asarray(npz["alpha"])
+    thr0 = jnp.asarray(npz["initial_throttle"], jnp.float32)
+    n = 45  # spans two 20-tick multi-rate boundaries
+
+    bench = admm.ADMMSettings(max_iter=40, polish=True,
+                              rho_update_iters=(15,), pallas_mode="off",
+                              kinv_guard=True,
+                              guard_axis=admm.BATCH_GUARD_AXIS,
+                              ns_skip_tol=0.02, term_check_every=5)
+    deep = admm.ADMMSettings(max_iter=400, polish=True, pallas_mode="off")
+
+    def run(settings, batched):
+        problem, carry = mpc_mod.configure(cfg, sched, sel, to_snap(0),
+                                           channels, alpha, settings,
+                                           initial_throttle=thr0)
+        if batched:
+            carry = jax.tree.map(lambda a: jnp.stack([a, a]), carry)
+            tick = jax.jit(jax.vmap(
+                lambda c, s, e: mpc_mod.mpc_tick(cfg, sched, sel, settings,
+                                                 problem, c, s, e),
+                in_axes=(0, None, None), axis_name=admm.BATCH_GUARD_AXIS))
+        else:
+            tick = jax.jit(lambda c, s, e: mpc_mod.mpc_tick(
+                cfg, sched, sel, settings, problem, c, s, e))
+        outs = []
+        for t in range(n):
+            est = jnp.asarray(npz["est_td"][t], jnp.float32)
+            carry, out = tick(carry, to_snap(t + 1), est)
+            outs.append(out)
+        return outs
+
+    bench_outs = run(bench, batched=True)
+    deep_outs = run(deep, batched=False)
+    for t, (b, d) in enumerate(zip(bench_outs, deep_outs)):
+        st = np.atleast_1d(np.asarray(b.status))
+        assert all(s in (admm.SOLVED, admm.SOLVED_INACCURATE) for s in st), \
+            f"tick {t}: bench-config status {st}"
+        np.testing.assert_allclose(
+            np.asarray(b.throttle[0]), np.asarray(d.throttle), atol=0.2,
+            err_msg=f"throttle diverges at tick {t}")
+        np.testing.assert_allclose(
+            np.asarray(b.joints_pos_ref[0]), np.asarray(d.joints_pos_ref),
+            atol=2e-3, err_msg=f"joints diverge at tick {t}")
+        np.testing.assert_allclose(
+            np.asarray(b.thrust_des[0]), np.asarray(d.thrust_des),
+            atol=0.5, err_msg=f"thrust diverges at tick {t}")
