@@ -44,12 +44,9 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       str(ROOT / ".jax_cache_tpu"))
 
-    from ironcub_mpc_tpu.core.config import (MPCConfig, RobotConfig,
-                                             joint_selector)
-    from ironcub_mpc_tpu.core.types import RobotSnapshot
-    from ironcub_mpc_tpu.horizon import build_schedule
     from ironcub_mpc_tpu.ops import admm
     from ironcub_mpc_tpu.qp import mpc as vs_mpc
+    from ironcub_mpc_tpu.runtime.replay import load_flight_replay
 
     # Throughput is measured in the PRODUCTION regime: ticks chained in a
     # lax.scan inside one compiled program, exactly how the flight rollout
@@ -83,30 +80,13 @@ def main():
                                        guard_axis=None)
 
     # --- recorded-flight replay stream (the headline regime) --------------
-    npz = np.load(ROOT / "tests" / "golden" / "flight_snapshots.npz")
-    cfg = dataclasses.replace(MPCConfig(),
-                              weight_regularization_joint_pos=200.0)
-    sched = build_schedule(cfg)
-    sel = joint_selector(RobotConfig(), cfg)
-    snap_fields = {f: jnp.asarray(npz[f"snap_{f}"], jnp.float32)
-                   for f in RobotSnapshot._fields}
-    n_rec = int(npz["est_td"].shape[0])
-    assert scan_len <= n_rec, (scan_len, n_rec)
-    snap_of = lambda t: RobotSnapshot(
-        **{f: snap_fields[f][t] for f in RobotSnapshot._fields})
-    channels = {k: np.asarray(npz[f"ch_{k}"]) for k in
-                ("positionCoM", "velocityCoM", "RPY", "RPYDot")}
-    alpha = np.asarray(npz["alpha"])
-    problem, carry = vs_mpc.configure(
-        cfg, sched, sel, snap_of(0), channels, alpha, settings,
-        initial_throttle=jnp.asarray(npz["initial_throttle"], jnp.float32))
+    replay = load_flight_replay()
+    cfg, sched, sel = replay.cfg, replay.sched, replay.sel
+    snap_of = replay.snap_of
+    problem, carry = replay.configure(settings)
 
     static = os.environ.get("BENCH_STATIC", "0") == "1"
-    # stream of ticks 1..scan_len (tick t consumes snap t+1 / est_td t,
-    # the record_flight_snapshots replay contract)
-    snap_stream = jax.tree.map(
-        lambda a: a[1:scan_len + 1], RobotSnapshot(**snap_fields))
-    est_stream = jnp.asarray(npz["est_td"][:scan_len], jnp.float32)
+    snap_stream, est_stream = replay.stream(scan_len)
 
     def tick(carry, snap, est):
         return vs_mpc.mpc_tick(cfg, sched, sel, settings, problem, carry,
@@ -231,7 +211,8 @@ def main():
     lats = []
     for _ in range(30):
         c2, out1 = step1(c2, snap_of(1), est_stream[0])
-        t0 = time.perf_counter()
+        jax.block_until_ready(out1)   # the timed call must not inherit
+        t0 = time.perf_counter()      # this priming solve's device queue
         c2, out1 = step1(c2, snap_of(2), est_stream[1])
         jax.block_until_ready(out1)
         lats.append(time.perf_counter() - t0)

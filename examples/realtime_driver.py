@@ -99,8 +99,8 @@ def run(n_ticks: int = 1000, period_s: float = 0.005,
     rec = np.zeros(RECORD_LEN, np.float32)
     for i in range(n_ticks):
         late = pacer.wait()
-        if late > 0:
-            overrun_events.append((i, late * 1e3))
+        if late >= 0:   # >= : the pacer counters also count late == 0, so
+            overrun_events.append((i, late * 1e3))  # populations agree
         t0 = time.perf_counter()
         carry, record = tick(carry, snap, est)
         host = np.asarray(record)     # single device->host transfer

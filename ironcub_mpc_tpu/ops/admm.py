@@ -138,6 +138,14 @@ class ADMMSettings:
     # per-lane select. Must match the vmap axis_name or tracing fails;
     # leave None on the unbatched real-time path.
     guard_axis: str | None = None
+    # ignore the carried (K⁻¹, ρ) for THIS solve — fresh factorisation at
+    # the setup ρ — while still writing the fresh solver state back into
+    # the carry (kinv_carry semantics unchanged). This is the
+    # failure-recovery retry knob (parallel/monte_carlo.recovery_settings):
+    # kinv_carry=False would also ignore the carry but discards the fresh
+    # factorisation afterwards, so a persistently bad carried inverse
+    # would re-trigger the retry every tick.
+    kinv_reset: bool = False
     # early segment exit (CONDENSED solver path; the full-space batched
     # solver keeps fixed iterations — its batch-1 early-exit variant is
     # solve_adaptive): when > 0, each fixed-length

@@ -135,13 +135,16 @@ def _sweep_ckpt_restore(path, carry_like, acc_like):
 
 def recovery_settings(settings: admm.ADMMSettings) -> admm.ADMMSettings:
     """Solver settings for the failure-recovery retry of a bad tick:
-    fresh factorisation + ρ reset (kinv_carry off ignores the carried
-    inverse/ρ and re-factorises at the setup ρ) and an iteration boost
-    with extra adaptive-ρ marks — the closest analogue of re-running OSQP
-    setup after a failed solve (IMPCProblem.cpp:279-297 detects; the
-    reference keeps last commands, this actually retries)."""
+    fresh factorisation + ρ reset (``kinv_reset`` ignores the carried
+    inverse/ρ for this solve, re-factorises at the setup ρ, and — unlike
+    kinv_carry=False — writes the fresh factorisation back into the lane
+    carry so a persistently corrupted carry cannot re-trigger the retry
+    on every subsequent tick) and an iteration boost with extra
+    adaptive-ρ marks — the closest analogue of re-running OSQP setup
+    after a failed solve (IMPCProblem.cpp:279-297 detects; the reference
+    keeps last commands, this actually retries)."""
     return dataclasses.replace(
-        settings, kinv_carry=False, max_iter=max(200, 2 * settings.max_iter),
+        settings, kinv_reset=True, max_iter=max(200, 2 * settings.max_iter),
         rho_update_iters=(25, 75, 150), term_check_every=0)
 
 

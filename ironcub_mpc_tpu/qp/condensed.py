@@ -769,6 +769,12 @@ def solve(cfg: MPCConfig, qp: CondensedQP,
                     jnp.any(jnp.abs(rho_vec - rp) > 0).astype(jnp.int32),
                     settings.guard_axis)
                 if settings.ns_skip_tol > 0:
+                    # r0/n_stale are dead when d_any > 0 (the Woodbury
+                    # branch re-probes), but ρ only moves on ~5% of ticks
+                    # (pin toggles) — on the 95% common path they ARE the
+                    # gate, and hoisting the psum inside the cond branch
+                    # would trade that sliver for a collective-inside-
+                    # vmapped-cond composition risk. Kept unconditional.
                     r0 = kinv_probe_resid(kp, rho_vec)
                     n_stale = jax.lax.psum(
                         (~jnp.isfinite(r0)

@@ -396,12 +396,13 @@ def solve_condensed(cfg: MPCConfig, settings: admm.ADMMSettings,
                     problem: MPCProblem, carry: MPCCarry,
                     qp: condensed.CondensedQP) -> condensed.CondensedSolution:
     """Stage 3 of the condensed tick: the warm-started box-QP solve."""
+    use_carry = settings.kinv_carry and not settings.kinv_reset
     return condensed.solve(
         cfg, qp, settings, warm_u=carry.warm_x, warm_y=carry.warm_y,
         scaling=problem.cond_scaling,
-        kinv_prev=carry.kinv if settings.kinv_carry else None,
-        rho_prev=carry.rho_vec if settings.kinv_carry else None,
-        rho_scalar_prev=(carry.rho_scalar if settings.kinv_carry else None))
+        kinv_prev=carry.kinv if use_carry else None,
+        rho_prev=carry.rho_vec if use_carry else None,
+        rho_scalar_prev=(carry.rho_scalar if use_carry else None))
 
 
 def _assemble(cfg, sched, joint_sel, problem: MPCProblem, carry: MPCCarry,

@@ -409,25 +409,14 @@ def test_bench_solver_config_fidelity_on_recorded_stream():
     400-iteration deep solve over the recorded real-flight stream: the
     throughput number is only meaningful if the benched solver is
     production-grade."""
-    import dataclasses
-    from pathlib import Path
-
     import jax
     import jax.numpy as jnp
 
-    npz = np.load(Path(__file__).parent / "golden" / "flight_snapshots.npz")
-    cfg = dataclasses.replace(MPCConfig(),
-                              weight_regularization_joint_pos=200.0)
-    sched = build_schedule(cfg)
-    sel = joint_selector(RobotConfig(), cfg)
-    snap_fields = {f: jnp.asarray(npz[f"snap_{f}"], jnp.float32)
-                   for f in RobotSnapshot._fields}
-    to_snap = lambda t: RobotSnapshot(
-        **{f: snap_fields[f][t] for f in RobotSnapshot._fields})
-    channels = {k: np.asarray(npz[f"ch_{k}"]) for k in
-                ("positionCoM", "velocityCoM", "RPY", "RPYDot")}
-    alpha = np.asarray(npz["alpha"])
-    thr0 = jnp.asarray(npz["initial_throttle"], jnp.float32)
+    from ironcub_mpc_tpu.runtime.replay import load_flight_replay
+
+    replay = load_flight_replay()
+    cfg, sched, sel = replay.cfg, replay.sched, replay.sel
+    to_snap = replay.snap_of
     n = 45  # spans two 20-tick multi-rate boundaries
 
     bench = admm.ADMMSettings(max_iter=40, polish=True,
@@ -438,9 +427,7 @@ def test_bench_solver_config_fidelity_on_recorded_stream():
     deep = admm.ADMMSettings(max_iter=400, polish=True, pallas_mode="off")
 
     def run(settings, batched):
-        problem, carry = mpc_mod.configure(cfg, sched, sel, to_snap(0),
-                                           channels, alpha, settings,
-                                           initial_throttle=thr0)
+        problem, carry = replay.configure(settings)
         if batched:
             carry = jax.tree.map(lambda a: jnp.stack([a, a]), carry)
             tick = jax.jit(jax.vmap(
@@ -452,7 +439,7 @@ def test_bench_solver_config_fidelity_on_recorded_stream():
                 cfg, sched, sel, settings, problem, c, s, e))
         outs = []
         for t in range(n):
-            est = jnp.asarray(npz["est_td"][t], jnp.float32)
+            est = replay.est_td[t]
             carry, out = tick(carry, to_snap(t + 1), est)
             outs.append(out)
         return outs

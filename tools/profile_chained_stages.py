@@ -44,31 +44,16 @@ def main():
                           if jax.default_backend() == "tpu"
                           else ROOT / ".jax_cache"))
 
-    from ironcub_mpc_tpu.core.config import (MPCConfig, RobotConfig,
-                                             joint_selector)
-    from ironcub_mpc_tpu.core.types import RobotSnapshot
-    from ironcub_mpc_tpu.horizon import build_schedule
     from ironcub_mpc_tpu.ops import admm
-    from ironcub_mpc_tpu.qp import condensed
     from ironcub_mpc_tpu.qp import mpc as vs_mpc
+    from ironcub_mpc_tpu.runtime.replay import load_flight_replay
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     scan_len = int(sys.argv[2]) if len(sys.argv) > 2 else 50
 
-    npz = np.load(ROOT / "tests/golden/flight_snapshots.npz")
-    cfg = dataclasses.replace(MPCConfig(),
-                              weight_regularization_joint_pos=200.0)
-    sched = build_schedule(cfg)
-    sel = joint_selector(RobotConfig(), cfg)
-    sf = {f: jnp.asarray(npz[f"snap_{f}"], jnp.float32)
-          for f in RobotSnapshot._fields}
-    snap_stream = jax.tree.map(lambda a: a[1:scan_len + 1],
-                               RobotSnapshot(**sf))
-    est_stream = jnp.asarray(npz["est_td"][:scan_len], jnp.float32)
-    channels = {k: np.asarray(npz[f"ch_{k}"]) for k in
-                ("positionCoM", "velocityCoM", "RPY", "RPYDot")}
-    alpha = np.asarray(npz["alpha"])
-    thr0 = jnp.asarray(npz["initial_throttle"], jnp.float32)
+    replay = load_flight_replay()
+    cfg, sched, sel = replay.cfg, replay.sched, replay.sel
+    snap_stream, est_stream = replay.stream(scan_len)
     key = jax.random.PRNGKey(0)
     lane_jitter = 0.1 * jax.random.normal(key, (batch, 6), jnp.float32)
 
@@ -80,9 +65,7 @@ def main():
     def measure(settings, stage: str = "full"):
         """Chained per-tick time of a tick variant; stage truncates the
         pipeline after prep ('prep_only') or condense ('prep_condense')."""
-        problem, carry = vs_mpc.configure(
-            cfg, sched, sel, jax.tree.map(lambda a: a[0], RobotSnapshot(**sf)),
-            channels, alpha, settings, initial_throttle=thr0)
+        problem, carry = replay.configure(settings)
 
         def tick_full(c, s, e):
             return vs_mpc.mpc_tick(cfg, sched, sel, settings, problem, c, s, e)
@@ -181,9 +164,7 @@ def main():
           flush=True)
 
     def run_commands(settings):
-        problem, carry = vs_mpc.configure(
-            cfg, sched, sel, jax.tree.map(lambda a: a[0], RobotSnapshot(**sf)),
-            channels, alpha, settings, initial_throttle=thr0)
+        problem, carry = replay.configure(settings)
 
         @jax.jit
         def chain(carry):
