@@ -73,11 +73,20 @@ def main():
     # 256: 68.1k -> 106.5k solves/s, solved_frac 1.000; 3/4/5 within 1%,
     # 8 at 103.5k). The fused Pallas kernels win the batch-1 LATENCY path
     # instead (K⁻¹ VMEM-resident; ADMMSettings.pallas_mode docstring).
+    # BENCH_EPS: termination tolerance. Default 1e-3 = the OSQP defaults
+    # the reference solves at (its OSQP also STOPS at this criterion, via
+    # check-every-25) — the apples-to-apples parity configuration. The
+    # flight loop flies the mission at 1e-4 (stopping exactly at 1e-3
+    # measurably degrades tracking, runtime/flight.py); at 1e-4 the
+    # headline measures 102.2k vs 111.2k solves/s (both solved_frac
+    # 1.000, measured back-to-back at batch 256 / scan 100).
+    eps = float(os.environ.get("BENCH_EPS", "1e-3"))
     settings = admm.ADMMSettings(max_iter=40, polish=True,
                                  rho_update_iters=(15,), pallas_mode="off",
                                  kinv_guard=True,
                                  guard_axis=admm.BATCH_GUARD_AXIS,
-                                 ns_skip_tol=0.02, term_check_every=5)
+                                 ns_skip_tol=0.02, term_check_every=5,
+                                 eps_abs=eps, eps_rel=eps)
     settings_lat = dataclasses.replace(settings, pallas_mode="on",
                                        guard_axis=None)
 
