@@ -179,6 +179,14 @@ def main():
         "wall_s": round(wall, 1),
         "scenario_rollouts_per_s": round(total / wall, 2),
         "tick_solves_per_s": round(total * n_ticks / wall, 1),
+        "solver": {
+            "max_iter": loop.settings.max_iter,
+            "term_check_every": loop.settings.term_check_every,
+            "eps_abs": loop.settings.eps_abs,
+            "eps_rel": loop.settings.eps_rel,
+            "ns_skip_tol": loop.settings.ns_skip_tol,
+            "rho_update_iters": list(loop.settings.rho_update_iters),
+        },
         "device": jax.devices()[0].platform,
         "n_devices": n_dev,
     }
