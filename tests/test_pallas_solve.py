@@ -323,3 +323,43 @@ def test_condensed_pallas_path_with_ns_skip_matches():
         np.testing.assert_allclose(np.asarray(os_.joints_pos_ref),
                                    np.asarray(ob.joints_pos_ref), rtol=0,
                                    atol=1e-4)
+
+
+def test_condensed_pallas_path_with_term_check_matches():
+    """The early segment exit (term_check_every) composes with the fused
+    Pallas latency path: chunked admm_segment kernel launches wrapped in
+    real lax.cond skips must still solve and stay within command-fidelity
+    tolerance of the fixed-iteration Pallas baseline across warm ticks."""
+    import dataclasses
+
+    import __graft_entry__ as ge
+    from ironcub_mpc_tpu.ops import admm
+    from ironcub_mpc_tpu.qp import mpc as vs_mpc
+
+    base = admm.ADMMSettings(max_iter=40, polish=True, rho_update_iters=(15,),
+                             pallas_mode="on")
+    cfg, sched, sel, base, problem, carry0, snap, _ = ge._setup(
+        settings=base)
+    early = dataclasses.replace(base, term_check_every=5)
+
+    def run(s):
+        carry, outs = carry0, []
+        for _ in range(4):
+            carry, out = vs_mpc.mpc_tick(cfg, sched, sel, s, problem, carry,
+                                         snap, jnp.zeros(4))
+            outs.append(out)
+        return outs
+
+    # tick 0 is the cold-start tick (MAX_ITER in every configuration; the
+    # real-time loop always runs warm — see the ns_skip test above)
+    for k, (ob, oe) in enumerate(zip(run(base), run(early))):
+        if k > 0:
+            assert int(oe.status) in (admm.SOLVED, admm.SOLVED_INACCURATE)
+        # early exit stops at the termination criterion: command-fidelity
+        # tolerance, not bitwise (test_condensed term-check tolerances)
+        np.testing.assert_allclose(np.asarray(oe.throttle),
+                                   np.asarray(ob.throttle), rtol=0,
+                                   atol=0.2)
+        np.testing.assert_allclose(np.asarray(oe.joints_pos_ref),
+                                   np.asarray(ob.joints_pos_ref), rtol=0,
+                                   atol=2e-3)
