@@ -18,6 +18,11 @@ the regime the robot actually fights.
 
 Usage: python tools/run_mismatch_sweep.py [n_per_level=256] [seconds=10]
            [--skip 22] [--out MISMATCH.json] [--ckpt DIR]
+           [--wind N] [--quick]
+
+--wind sets the fixed gust std (default 5 N) so the gust x mismatch
+interaction can be mapped slice by slice; --quick runs only the matched
+and ±10%/1 cm levels.
 """
 
 import dataclasses
@@ -53,6 +58,10 @@ def main():
             ckpt_root = Path(sys.argv[i + 1])
         if a == "--skip" and i + 1 < len(sys.argv):
             skip_s = float(sys.argv[i + 1])
+    wind_std = 5.0
+    for i, a in enumerate(sys.argv):
+        if a == "--wind" and i + 1 < len(sys.argv):
+            wind_std = float(sys.argv[i + 1])
 
     from ironcub_mpc_tpu.ops import admm
     from ironcub_mpc_tpu.parallel import (
@@ -84,10 +93,12 @@ def main():
     n_per = max(n_dev, n_scen // n_dev * n_dev)
     # mismatch curve: (segment-mass rel. error, jet placement error [m])
     levels = [(0.0, 0.0), (0.05, 0.005), (0.10, 0.01), (0.20, 0.02)]
+    if "--quick" in sys.argv:
+        levels = [levels[0], levels[2]]
     levels_out = []
     t0 = time.time()
     for m_std, j_std in levels:
-        scen = ScenarioConfig(wind_force_std=5.0, com_err_fail=1.0,
+        scen = ScenarioConfig(wind_force_std=wind_std, com_err_fail=1.0,
                               mass_scale_std=m_std, jet_pos_std_m=j_std)
         batched = make_batched_carry(carry, n_per, scen,
                                      seed=int(m_std * 1000) + 11)
@@ -120,7 +131,7 @@ def main():
         "metric": "model_mismatch_sweep",
         "controller_model": "nominal calibrated Mk3 (data/ironcub_mk3_calibrated.urdf)",
         "plant_model": "per-scenario perturbed masses/inertias + jet placements",
-        "wind_force_std_n": 5.0,
+        "wind_force_std_n": wind_std,
         "n_scenarios_total": n_per * len(levels),
         "seconds": seconds,
         "n_ticks": n_ticks,
