@@ -86,7 +86,10 @@ def render(mat: dict, out_path: str) -> str:
     ax2 = ax.twinx()
     ax2.plot(t, np.ravel(mat["solver_status"]), "r.", ms=2)
     ax2.set_ylabel("status (1=solved)")
-    ax.set_title("solver residuals / status")
+    # residuals are UNSCALED inf-norms; termination is the relative OSQP
+    # criterion (eps_abs + eps_rel * scale), so dua ~ O(1-10) against a
+    # large gradient scale is converged — the status trace is the verdict
+    ax.set_title("solver residuals (unscaled) / status")
     ax.legend(fontsize=7)
 
     for row in axes:
